@@ -1,0 +1,195 @@
+"""Device-resident discretization: operators + mesh arrays as one pytree.
+
+Combines the roles of the reference's ``MeshData`` (src/SetupDG.jl:77-115,
+init_mesh :275/:389) and the per-driver hybridized-operator packing
+(e.g. dg2D_euler_tri.jl:70-77) into a single frozen pytree that jitted
+RHS functions take as an argument.
+
+TPU-first layout decisions:
+  * element axis last everywhere: state [Nf, Np, K], traces [Nfq, K] —
+    K maps to TPU lanes and is the sharded axis;
+  * ``mapP`` is an int32 row-major flat index (node * K + elem) into the
+    flattened [Nfq, K] trace array: one XLA gather, no scatter anywhere;
+  * geometric factors are stored at the hybridized points, collapsed to a
+    single per-element value when the mesh is affine (uniform meshes) so
+    the flux-differencing kernel can use the cheap constant-geofac path;
+  * 1/J and 1/(element size) style reciprocals are precomputed on host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.connectivity import build_node_maps, connect_mesh, make_periodic
+from ..mesh.geometry import geometric_factors_2d, geometric_factors_3d
+from ..utils.pytree import pytree_dataclass
+from .ref_elem import RefElem
+
+_META = (
+    "elem_type", "n", "dim", "nfaces", "num_elements", "np_", "nq", "nfq",
+    "nh", "affine", "periodic_axes",
+)
+
+
+@pytree_dataclass(meta_fields=_META)
+class Discretization:
+    # ---- static metadata ----
+    elem_type: str
+    n: int
+    dim: int
+    nfaces: int
+    num_elements: int
+    np_: int
+    nq: int
+    nfq: int
+    nh: int
+    affine: bool
+    periodic_axes: tuple
+
+    # ---- reference operators (compute dtype) ----
+    vq: jnp.ndarray          # [Nq, Np]
+    vf: jnp.ndarray          # [Nfq, Np]
+    pq: jnp.ndarray          # [Np, Nq]
+    lift: jnp.ndarray        # [Np, Nfq]
+    d: tuple                 # dim x [Np, Np]
+    q_skew: tuple            # dim x [Nh, Nh]
+    vh: jnp.ndarray          # [Nh, Np]
+    ph: jnp.ndarray          # [Np, Nh]
+    vhp: jnp.ndarray         # [Nh, Nq]
+    wq: jnp.ndarray          # [Nq]
+    wf: jnp.ndarray          # [Nfq]
+
+    # ---- mesh arrays ----
+    x: tuple                 # dim x [Np, K] nodal coordinates
+    xq: tuple                # dim x [Nq, K]
+    xf: tuple                # dim x [Nfq, K]
+    geo: jnp.ndarray         # [dim*dim, Ng, K]; Ng = 1 (affine) or Nh
+    jac: jnp.ndarray         # [Np, K]
+    inv_jac: jnp.ndarray     # [Np, K]
+    wjq: jnp.ndarray         # [Nq, K]
+    nxj: tuple               # dim x [Nfq, K] scaled outward normals
+    sj: jnp.ndarray          # [Nfq, K]
+    inv_sj: jnp.ndarray      # [Nfq, K]
+    map_p: jnp.ndarray       # int32 [Nfq, K] flat gather indices
+    bmask: jnp.ndarray       # bool [Nfq, K] true on (non-periodic) boundary
+
+    def gather_traces(self, uf: jnp.ndarray) -> jnp.ndarray:
+        """Neighbor values: uf may be [Nfq, K] or [Nf, Nfq, K]."""
+        flat = uf.reshape(*uf.shape[:-2], self.nfq * self.num_elements)
+        return jnp.take(flat, self.map_p.reshape(-1), axis=-1).reshape(uf.shape)
+
+
+def _to_dtype(x, dtype):
+    return jnp.asarray(np.asarray(x), dtype=dtype)
+
+
+def build_discretization(
+    ref: RefElem,
+    vertices: Sequence[np.ndarray],
+    etov: np.ndarray,
+    periodic_axes: tuple = (),
+    curved_map=None,
+    dtype: Optional[jnp.dtype] = None,
+) -> Discretization:
+    """Assemble the full device-resident discretization.
+
+    Args:
+      ref: reference element from ``core.ref_elem``.
+      vertices: dim arrays of vertex coordinates.
+      etov: [K, nverts] element-to-vertex table.
+      periodic_axes: axes along which the domain is periodic.
+      curved_map: optional callable (x, y[, z]) -> same-shaped coords to
+        curve the mesh after vertex interpolation (reference
+        dg3D_euler_hex.jl:69-75 pattern).
+      dtype: compute dtype (defaults to jnp default float).
+    """
+    dtype = jnp.zeros(0).dtype if dtype is None else dtype
+    dim = ref.dim
+    k = etov.shape[0]
+
+    # nodal coordinates: x = V1 @ VX[EToV]^T   (SetupDG.jl:287)
+    coords = [ref.v1 @ np.asarray(v)[etov].T for v in vertices]
+    if curved_map is not None:
+        coords = list(curved_map(*coords))
+
+    xf_np = [ref.vf @ c for c in coords]
+    xq_np = [ref.vq @ c for c in coords]
+
+    # connectivity + node maps
+    ftof = connect_mesh(etov, ref.face_vertices)
+    nfp = ref.nfp
+    _, map_p, map_b = build_node_maps(xf_np, ftof, nfp)
+    if periodic_axes:
+        lengths = [np.asarray(v).max() - np.asarray(v).min() for v in vertices]
+        map_p, ftof = make_periodic(
+            xf_np, lengths, ftof, map_p, map_b, nfp, axes=periodic_axes
+        )
+
+    # geometric factors at solution nodes
+    if dim == 1:
+        (dr,) = ref.d
+        xr = dr @ coords[0]
+        jac_np = xr
+        geo_list = [np.ones_like(xr)]  # rxJ = rx * J = 1 in 1D
+    elif dim == 2:
+        rxj, sxj, ryj, syj = geometric_factors_2d(*coords, *ref.d)[:4]
+        jac_np = geometric_factors_2d(*coords, *ref.d)[4]
+        geo_list = [rxj, sxj, ryj, syj]
+    else:
+        g = geometric_factors_3d(*coords, *ref.d)
+        geo_list, jac_np = list(g[:9]), g[9]
+
+    if np.any(jac_np <= 0):
+        raise ValueError("non-positive Jacobian: inverted element")
+
+    # surface normals: nxJ = sum_i (Vf @ geo[i,x]) * n_i  (SetupDG.jl:312)
+    nxj_np = []
+    for xdir in range(dim):
+        acc = np.zeros((ref.nfq, k))
+        for rdir in range(dim):
+            acc += (ref.vf @ geo_list[rdir * dim + xdir]) * ref.nrst_j[rdir][:, None]
+        nxj_np.append(acc)
+    sj_np = np.sqrt(sum(v**2 for v in nxj_np))
+
+    # interpolate geofacs to hybridized points; collapse if affine
+    geo_h = np.stack([ref.vh @ g for g in geo_list], axis=0)  # [dim*dim, Nh, K]
+    spread = np.abs(geo_h - geo_h.mean(axis=1, keepdims=True)).max()
+    scale = max(np.abs(geo_h).max(), 1e-300)
+    affine = bool(spread < 1e-11 * scale)
+    if affine:
+        geo_h = geo_h.mean(axis=1, keepdims=True)  # [dim*dim, 1, K]
+
+    wjq_np = ref.wq[:, None] * (ref.vq @ jac_np)
+
+    # convert mapP flat ids (node + Nfq*elem) -> row-major (node*K + elem)
+    node = map_p % (ref.nfq)
+    elem = map_p // (ref.nfq)
+    map_p_rm = (node * k + elem).astype(np.int32)
+
+    bmask_np = np.zeros((ref.nfq, k), dtype=bool)
+    flat_self = (np.arange(ref.nfq)[:, None] * k + np.arange(k)[None, :]).astype(np.int32)
+    bmask_np = map_p_rm == flat_self
+
+    f = lambda a: _to_dtype(a, dtype)
+    return Discretization(
+        elem_type=ref.elem_type, n=ref.n, dim=dim, nfaces=ref.nfaces,
+        num_elements=k, np_=ref.np_, nq=ref.nq, nfq=ref.nfq, nh=ref.nh,
+        affine=affine, periodic_axes=tuple(periodic_axes),
+        vq=f(ref.vq), vf=f(ref.vf), pq=f(ref.pq), lift=f(ref.lift),
+        d=tuple(f(di) for di in ref.d),
+        q_skew=tuple(f(qi) for qi in ref.q_skew),
+        vh=f(ref.vh), ph=f(ref.ph), vhp=f(ref.vhp),
+        wq=f(ref.wq), wf=f(ref.wf),
+        x=tuple(f(c) for c in coords),
+        xq=tuple(f(c) for c in xq_np),
+        xf=tuple(f(c) for c in xf_np),
+        geo=f(geo_h), jac=f(jac_np), inv_jac=f(1.0 / jac_np),
+        wjq=f(wjq_np),
+        nxj=tuple(f(v) for v in nxj_np),
+        sj=f(sj_np), inv_sj=f(1.0 / sj_np),
+        map_p=jnp.asarray(map_p_rm),
+        bmask=jnp.asarray(bmask_np),
+    )
