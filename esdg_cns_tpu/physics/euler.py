@@ -1,0 +1,204 @@
+"""Compressible Euler constitutive maps and entropy-conservative fluxes.
+
+Dimension-generic (1D/2D/3D inferred from field count), shape-agnostic
+JAX functions operating on stacked field arrays ``U[f, ...]`` with
+``f = dim + 2`` conservative fields (rho, rho*u_1..d, E).
+
+Capability parity with the reference flux package
+``examples/EntropyStableEuler.jl/src`` (entropy_variables.jl,
+euler_fluxes_{1D,2D,3D}.jl, logmean.jl): Chandrashekar-type EC fluxes in
+(rho, u, beta) variables with logarithmic means, the entropy-variable
+maps v(U)/U(v), and the Lax-Friedrichs wavespeed.
+
+Deviations (documented):
+  * ``logmean`` uses the exact Taylor expansion of
+    L = (aR-aL)/(log aR - log aL) near aL ~ aR (coefficients 1/12, 1/80,
+    1/448 of v = ((aR-aL)/aavg)^2, gamma-independent), with a
+    dtype-dependent switch point.  The reference's series
+    (logmean.jl:23-25) uses coefficients labelled "assume gamma=1.4"
+    that do not reproduce the exact expansion; the difference is below
+    1e-10 relative and invisible at the reference's test tolerances.
+  * ``wavespeed`` is |u_n| + c everywhere (the packaged flux module's
+    definition, euler_fluxes_1D.jl:7-12); the old inline package's
+    sqrt(|u_n|) + c variant (examples/EntropyStableEuler/
+    euler_variables.jl:9) is not reproduced.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+GAMMA = 1.4
+
+
+def logmean(a_l, a_r, log_l=None, log_r=None):
+    """Stable logarithmic mean (aR - aL) / (log aR - log aL).
+
+    Branchless: series for |aR-aL|/aavg below a dtype-dependent cutoff
+    (1e-2 for f64, 1e-1 for f32), exact ratio otherwise, with a safe
+    denominator so no NaN enters the untaken branch (important for AD).
+    """
+    if log_l is None:
+        log_l = jnp.log(a_l)
+    if log_r is None:
+        log_r = jnp.log(a_r)
+    da = a_r - a_l
+    aavg = 0.5 * (a_r + a_l)
+    f = da / aavg
+    v = f * f
+    eps = jnp.finfo(jnp.result_type(a_l, a_r)).eps
+    cutoff = 1e-2 if eps < 1e-10 else 1e-1
+    use_series = jnp.abs(f) < cutoff
+    # L = aavg / (1 + v/12 + v^2/80 + v^3/448): exact expansion of
+    # 2f / log((1+f/2)/(1-f/2)) in v = f^2
+    series = aavg / (1.0 + v * (1.0 / 12.0 + v * (1.0 / 80.0 + v / 448.0)))
+    den = jnp.where(use_series, 1.0, log_r - log_l)
+    exact = da / den
+    return jnp.where(use_series, series, exact)
+
+
+# -----------------------------------------------------------------------------
+# conservative-variable constitutive maps
+# -----------------------------------------------------------------------------
+
+def _split(u):
+    """U[f,...] -> (rho, mom[d,...], E)."""
+    return u[0], u[1:-1], u[-1]
+
+
+def pfun(u, gamma=GAMMA):
+    """Pressure p = (gamma-1) (E - |rho u|^2 / (2 rho))."""
+    rho, mom, e = _split(u)
+    return (gamma - 1.0) * (e - 0.5 * jnp.sum(mom * mom, axis=0) / rho)
+
+
+def betafun(u, gamma=GAMMA):
+    """Inverse temperature beta = rho / (2p)."""
+    return _split(u)[0] / (2.0 * pfun(u, gamma))
+
+
+def sfun(u, gamma=GAMMA):
+    """Specific physical entropy s = log(p / rho^gamma)."""
+    rho = u[0]
+    return jnp.log(pfun(u, gamma)) - gamma * jnp.log(rho)
+
+
+def entropy_fun(u, gamma=GAMMA):
+    """Mathematical entropy S(U) = -rho s."""
+    return -u[0] * sfun(u, gamma)
+
+
+def v_ufun(u, gamma=GAMMA):
+    """Entropy variables V = dS/dU, stacked [f, ...]."""
+    rho, mom, e = _split(u)
+    p = pfun(u, gamma)
+    s = sfun(u, gamma)
+    v1 = (gamma + 1.0 - s) - (gamma - 1.0) * e / p
+    vmom = (gamma - 1.0) * mom / p
+    ve = -(gamma - 1.0) * rho / p
+    return jnp.concatenate([v1[None], vmom, ve[None]], axis=0)
+
+
+def u_vfun(v, gamma=GAMMA):
+    """Conservative variables from entropy variables (inverse of v_ufun)."""
+    v1, vmom, ve = _split(v)
+    vnorm = jnp.sum(vmom * vmom, axis=0)
+    s = gamma - v1 + vnorm / (2.0 * ve)
+    rhoe = ((gamma - 1.0) / (-ve) ** gamma) ** (1.0 / (gamma - 1.0)) * jnp.exp(
+        -s / (gamma - 1.0)
+    )
+    rho = rhoe * (-ve)
+    mom = rhoe * vmom
+    e = rhoe * (1.0 - vnorm / (2.0 * ve))
+    return jnp.concatenate([rho[None], mom, e[None]], axis=0)
+
+
+def primitive_to_conservative(rho, vel, p, gamma=GAMMA):
+    """(rho, vel[d,...], p) -> stacked conservative U[f,...]."""
+    vel = jnp.asarray(vel)
+    mom = rho * vel
+    e = p / (gamma - 1.0) + 0.5 * rho * jnp.sum(vel * vel, axis=0)
+    return jnp.concatenate([rho[None], mom, e[None]], axis=0)
+
+
+def conservative_to_primitive_beta(u, gamma=GAMMA):
+    """U -> stacked flux variables Q = (rho, u_1..d, beta)."""
+    rho, mom, _ = _split(u)
+    return jnp.concatenate(
+        [rho[None], mom / rho, betafun(u, gamma)[None]], axis=0
+    )
+
+
+def wavespeed(rho, rhou_n, e, gamma=GAMMA):
+    """|u_n| + c for Lax-Friedrichs penalties (euler_fluxes_1D.jl:7-12)."""
+    unorm2 = (rhou_n / rho) ** 2
+    p = (gamma - 1.0) * (e - 0.5 * rho * unorm2)
+    return jnp.sqrt(unorm2) + jnp.sqrt(gamma * p / rho)
+
+
+def euler_flux(u, gamma=GAMMA):
+    """Exact flux tuple (F_1, .., F_d), each stacked [f, ...]."""
+    rho, mom, e = _split(u)
+    p = pfun(u, gamma)
+    vel = mom / rho
+    fluxes = []
+    for d in range(mom.shape[0]):
+        frho = mom[d]
+        fmom = mom * vel[d]
+        fmom = fmom.at[d].add(p)
+        fe = vel[d] * (e + p)
+        fluxes.append(jnp.concatenate([frho[None], fmom, fe[None]], axis=0))
+    return tuple(fluxes)
+
+
+def psi_fun(u, gamma=GAMMA):
+    """Entropy potential psi_d = (gamma-1) rho u_d (Tadmor condition)."""
+    _, mom, _ = _split(u)
+    return (gamma - 1.0) * mom
+
+
+# -----------------------------------------------------------------------------
+# entropy-conservative two-point fluxes (Chandrashekar)
+# -----------------------------------------------------------------------------
+
+def ec_flux(q_l, q_r, qlog_l=None, qlog_r=None, gamma=GAMMA):
+    """Entropy-conservative two-point flux.
+
+    Args:
+      q_l, q_r: stacked flux variables [f, ...] = (rho, u_1..d, beta).
+      qlog_l, qlog_r: optional precomputed (log rho, log beta) pairs,
+        stacked [2, ...].
+
+    Returns tuple of d stacked flux arrays (FxS, [FyS, [FzS]]), matching
+    reference euler_fluxes_{1D,2D,3D}.jl.
+    """
+    rho_l, vel_l, beta_l = _split(q_l)
+    rho_r, vel_r, beta_r = _split(q_r)
+    dim = vel_l.shape[0]
+
+    if qlog_l is None:
+        rholog_l, betalog_l = jnp.log(rho_l), jnp.log(beta_l)
+    else:
+        rholog_l, betalog_l = qlog_l[0], qlog_l[1]
+    if qlog_r is None:
+        rholog_r, betalog_r = jnp.log(rho_r), jnp.log(beta_r)
+    else:
+        rholog_r, betalog_r = qlog_r[0], qlog_r[1]
+
+    rholog = logmean(rho_l, rho_r, rholog_l, rholog_r)
+    betalog = logmean(beta_l, beta_r, betalog_l, betalog_r)
+
+    rhoavg = 0.5 * (rho_l + rho_r)
+    velavg = 0.5 * (vel_l + vel_r)
+    vel_dot = jnp.sum(vel_l * vel_r, axis=0)
+    pa = rhoavg / (beta_l + beta_r)
+    e_plus_p = rholog / (2.0 * (gamma - 1.0) * betalog) + pa + 0.5 * rholog * vel_dot
+
+    fluxes = []
+    for d in range(dim):
+        f1 = rholog * velavg[d]
+        fmom = f1 * velavg
+        fmom = fmom.at[d].add(pa)
+        fe = e_plus_p * velavg[d]
+        fluxes.append(jnp.concatenate([f1[None], fmom, fe[None]], axis=0))
+    return tuple(fluxes)

@@ -7,7 +7,8 @@ tests need float64 to verify entropy conservation to ~1e-12.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment pins JAX_PLATFORMS to a TPU plugin
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
