@@ -67,6 +67,7 @@ class Discretization:
     xq: tuple                # dim x [Nq, K]
     xf: tuple                # dim x [Nfq, K]
     geo: jnp.ndarray         # [dim*dim, Ng, K]; Ng = 1 (affine) or Nh
+    geo_nodal: jnp.ndarray   # [dim*dim, Ngn, K]; Ngn = 1 (affine) or Np
     jac: jnp.ndarray         # [Np, K]
     inv_jac: jnp.ndarray     # [Np, K]
     wjq: jnp.ndarray         # [Nq, K]
@@ -129,23 +130,27 @@ def build_discretization(
         )
 
     # geometric factors at solution nodes
+    # geo_list is stored rdir-major: geo_list[rdir*dim + xdir] is the
+    # metric factor pairing the rdir-direction operator with the
+    # xdir-direction flux (d/dx_j = sum_r geo[r*dim+j] * D_r / J).
     if dim == 1:
         (dr,) = ref.d
         xr = dr @ coords[0]
         jac_np = xr
         geo_list = [np.ones_like(xr)]  # rxJ = rx * J = 1 in 1D
     elif dim == 2:
-        rxj, sxj, ryj, syj = geometric_factors_2d(*coords, *ref.d)[:4]
-        jac_np = geometric_factors_2d(*coords, *ref.d)[4]
-        geo_list = [rxj, sxj, ryj, syj]
+        rxj, sxj, ryj, syj, jac_np = geometric_factors_2d(*coords, *ref.d)
+        geo_list = [rxj, ryj, sxj, syj]
     else:
         g = geometric_factors_3d(*coords, *ref.d)
-        geo_list, jac_np = list(g[:9]), g[9]
+        rxj, sxj, txj, ryj, syj, tyj, rzj, szj, tzj = g[:9]
+        jac_np = g[9]
+        geo_list = [rxj, ryj, rzj, sxj, syj, szj, txj, tyj, tzj]
 
     if np.any(jac_np <= 0):
         raise ValueError("non-positive Jacobian: inverted element")
 
-    # surface normals: nxJ = sum_i (Vf @ geo[i,x]) * n_i  (SetupDG.jl:312)
+    # surface normals: nxJ = sum_r (Vf @ geo[r,x]) * nhat_r  (SetupDG.jl:312)
     nxj_np = []
     for xdir in range(dim):
         acc = np.zeros((ref.nfq, k))
@@ -161,6 +166,9 @@ def build_discretization(
     affine = bool(spread < 1e-11 * scale)
     if affine:
         geo_h = geo_h.mean(axis=1, keepdims=True)  # [dim*dim, 1, K]
+    geo_nodal = np.stack(geo_list, axis=0)         # [dim*dim, Np, K]
+    if affine:
+        geo_nodal = geo_nodal.mean(axis=1, keepdims=True)
 
     wjq_np = ref.wq[:, None] * (ref.vq @ jac_np)
 
@@ -186,7 +194,8 @@ def build_discretization(
         x=tuple(f(c) for c in coords),
         xq=tuple(f(c) for c in xq_np),
         xf=tuple(f(c) for c in xf_np),
-        geo=f(geo_h), jac=f(jac_np), inv_jac=f(1.0 / jac_np),
+        geo=f(geo_h), geo_nodal=f(geo_nodal),
+        jac=f(jac_np), inv_jac=f(1.0 / jac_np),
         wjq=f(wjq_np),
         nxj=tuple(f(v) for v in nxj_np),
         sj=f(sj_np), inv_sj=f(1.0 / sj_np),

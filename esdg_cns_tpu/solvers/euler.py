@@ -1,0 +1,131 @@
+"""Entropy-stable modal DG semi-discretization of compressible Euler.
+
+The canonical ES-DG RHS (reference call stack SURVEY.md 3.2 / rhs in
+dg2D_euler_tri.jl:130-186, hex variant dg3D_euler_hex.jl:167-222):
+
+  1. entropy projection  U -> V at quadrature -> project -> U at
+     hybridized points,
+  2. flux variables (rho, u, beta) + precomputed logs,
+  3. face traces + neighbor gather (the only cross-element dependence),
+  4. optional Lax-Friedrichs dissipation,
+  5. EC surface flux + LIFT,
+  6. volume flux differencing (hot kernel),
+  7. scale by -1/J; entropy-balance diagnostic rhstest.
+
+Everything is one jittable pure function of the stacked conservative
+state Q [Nf, Np, K]; the Discretization pytree is a closed-over
+argument.  All operator applications are einsums onto the MXU; all
+pointwise maps are VPU ops; the gather is a single XLA gather; there is
+no scatter anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ..core.discretization import Discretization
+from ..ops.flux_differencing import flux_differencing_xla
+from ..physics import euler as phys
+
+Array = jnp.ndarray
+
+
+def _apply(mat: Array, x: Array) -> Array:
+    """Apply [M, N] operator to [..., N, K] stacked fields on the MXU."""
+    return jnp.einsum("ij,...jk->...ik", mat, x)
+
+
+def entropy_projection(disc: Discretization, q: Array, gamma: float):
+    """U at solution nodes -> (VU at quad, U at hybridized points).
+
+    Reference dg2D_euler_tri.jl:138-140.  For collocated quad/hex
+    elements Vq = I and VhP = [I; Ef] so XLA folds the identity matmuls.
+    """
+    uq = _apply(disc.vq, q)
+    vu = phys.v_ufun(uq, gamma)
+    vuh = _apply(disc.vhp, vu)
+    uh = phys.u_vfun(vuh, gamma)
+    return vu, uh
+
+
+def make_euler_rhs(
+    disc: Discretization,
+    *,
+    gamma: float = phys.GAMMA,
+    dissipation: bool = True,
+    bc_fun: Optional[Callable] = None,
+    flux_diff_impl: str = "xla",
+    compute_rhstest: bool = True,
+):
+    """Build the jittable ES-DG Euler RHS.
+
+    Args:
+      disc: discretization pytree.
+      dissipation: add local Lax-Friedrichs interface dissipation
+        (entropy-stable); without it the scheme is entropy-conservative.
+      bc_fun: optional boundary hook ``bc_fun(ctx) -> (qp, up)`` applied
+        to the gathered neighbor traces, where ctx carries (qm, qp, um,
+        up, normals, bmask).  Periodicity is already baked into mapP.
+      flux_diff_impl: 'xla' (portable) or 'pallas' (fused TPU kernel).
+
+    Returns rhs(q) -> (dq/dt [Nf, Np, K], aux dict with 'rhstest').
+    """
+    nq = disc.nq
+    if flux_diff_impl == "pallas":
+        from ..ops.pallas_fd import flux_differencing_pallas
+
+        fd = functools.partial(flux_differencing_pallas, nq=nq)
+    else:
+        fd = flux_differencing_xla
+
+    def rhs(q: Array, t: float = 0.0):
+        del t  # Euler RHS is autonomous; BCs needing t close over it
+        vu, uh = entropy_projection(disc, q, gamma)
+        beta = phys.betafun(uh, gamma)
+        qh = jnp.concatenate(
+            [uh[0][None], uh[1:-1] / uh[0], beta[None]], axis=0
+        )
+        qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
+
+        # --- face traces + neighbor exchange ---
+        qm = qh[:, nq:, :]
+        uf = uh[:, nq:, :]
+        qp = disc.gather_traces(qm)
+        up = disc.gather_traces(uf)
+
+        if bc_fun is not None:
+            qp, up = bc_fun(disc, qm, qp, uf, up)
+
+        # --- surface flux ---
+        fs = phys.ec_flux(qm, qp, gamma=gamma)
+        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
+        if dissipation:
+            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
+            rhoun = rhoun * disc.inv_sj
+            lam = phys.wavespeed(uf[0], rhoun, uf[-1], gamma)
+            lam_p = disc.gather_traces(lam)
+            lfc = 0.25 * jnp.maximum(lam, lam_p) * disc.sj
+            flux = flux - lfc[None] * (up - uf)
+        rhs_surf = _apply(disc.lift, flux)
+
+        # --- volume flux differencing ---
+        qf = fd(qh, qlog, disc.q_skew, disc.geo, gamma)
+        rhs_q = -(_apply(disc.ph, qf) + rhs_surf) * disc.inv_jac[None]
+
+        aux = {}
+        if compute_rhstest:
+            aux["rhstest"] = jnp.sum(
+                disc.wjq[None] * vu * _apply(disc.vq, rhs_q)
+            )
+        return rhs_q, aux
+
+    return rhs
+
+
+def l2_error(disc: Discretization, q: Array, q_exact_at_quad: Array) -> Array:
+    """Quadrature L2 error against exact nodal values at quad points."""
+    dq = _apply(disc.vq, q) - q_exact_at_quad
+    return jnp.sqrt(jnp.sum(disc.wjq[None] * dq * dq))
