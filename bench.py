@@ -1,0 +1,81 @@
+"""Headline benchmark: p=3 3D Euler on a periodic hex mesh (the
+reference's dg3D_euler_hex config, BASELINE.md north star).
+
+Prints one JSON line:
+  {"metric": "dof_rk_stage_per_s", "value": ..., "unit": "DOF*stage/s",
+   "vs_baseline": value / 1e9}
+
+DOF counts conservative unknowns (5 fields x Np x K); one RK stage = one
+RHS evaluation inside the LSRK45 loop.  Runs in float32 on whatever
+jax.devices() provides (the driver runs it on one real TPU chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compilation cache: compiles go through a slow remote-compile
+# tunnel in this environment (~minutes for the full step program), so cache
+# executables across bench invocations
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from esdg_cns_tpu.presets import euler_hex_3d
+from esdg_cns_tpu.solvers import make_euler_rhs
+from esdg_cns_tpu.timestepping import lsrk45
+
+NORTH_STAR = 1.0e9  # DOF * RK-stage / s
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 3))
+    k1d = int(os.environ.get("BENCH_K1D", 16))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    impl = os.environ.get("BENCH_FD_IMPL", "pallas")
+    if jax.devices()[0].platform == "cpu":
+        impl = os.environ.get("BENCH_FD_IMPL", "xla")
+        k1d = int(os.environ.get("BENCH_K1D", 4))
+
+    disc, q0 = euler_hex_3d(n=n, k1d=k1d, dtype=jnp.float32)
+    rhs = make_euler_rhs(
+        disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False
+    )
+    dt = jnp.float32(1e-6)  # timing run; stability not at issue
+
+    @jax.jit
+    def run(q):
+        qf, _ = lsrk45(rhs, q, dt, steps)
+        return qf
+
+    q0 = jax.device_put(q0)
+    run(q0).block_until_ready()  # compile + warm up
+    t0 = time.perf_counter()
+    out = run(q0)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    dof = 5 * disc.np_ * disc.num_elements
+    stages = 5 * steps
+    value = dof * stages / elapsed
+    print(json.dumps({
+        "metric": "dof_rk_stage_per_s",
+        "value": value,
+        "unit": "DOF*stage/s",
+        "vs_baseline": value / NORTH_STAR,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,22 +1,25 @@
 """Fused Pallas TPU kernel for volume flux differencing.
 
 Same semantics as ``flux_differencing.flux_differencing_xla`` (the hot
-loop of SURVEY.md 2.5 item 1), but tiled so the [Nh, Nh] all-pairs flux
-never materializes in HBM:
+loop of SURVEY.md 2.5 item 1), but the [Nh, Nh] all-pairs two-point flux
+never materializes in HBM.
 
-  * grid over element blocks of ``block_k`` lanes; each block holds
-    qh [Nf, Nh, block_k] resident in VMEM;
-  * a ``fori_loop`` over the partner index j computes the two-point flux
-    of ALL rows i against row j as one [Nf, Nh, block_k] VPU tile and
-    accumulates A[:, j] * F into the output — recompute instead of the
-    reference's skew-symmetry scatter (dg2D_CNS_modalESDG.jl:250-254),
-    which vectorizes; the zero face-face block of the skew operators is
-    exploited by restricting the partner loop for j >= Nq to the first
-    Nq rows (the reference's `i <= Nq || j <= Nq` skip,
-    dg2D_CNS_cavity_optimized.jl:334).
+Design notes (Mosaic constraints drove several choices):
+  * 1D grid over element blocks of ``block_k`` lanes; each block keeps
+    qh [Nf, Nh, KB] and the skew operators fully VMEM-resident.
+  * An in-kernel ``fori_loop`` over the partner index j computes the
+    two-point flux of ALL rows i against row j as one [Nh, KB] VPU tile
+    per field — recompute instead of the reference's skew-symmetry
+    scatter (dg2D_CNS_modalESDG.jl:250-254).
+  * Mosaic has no dynamic_slice on values and block specs cannot carry
+    width-1 lane/sublane tiles, so the partner row q_j and the operator
+    column A[:, j] are extracted with one-hot masked reductions
+    (broadcasted_iota == j), which lower to plain VPU ops.
+  * The zero face-face block of the skew operators makes face-face pairs
+    contribute exactly zero, so no masking is needed for correctness.
 
-HBM traffic: Nf*Nh*K read + write once, vs the XLA path's
-O(Nh^2 * K) intermediate. FLOPs unchanged.
+HBM traffic: O(Nf * Nh * K) read+write once per call, vs the XLA path's
+O(Nh^2 * K) intermediates.
 """
 
 from __future__ import annotations
@@ -28,67 +31,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.euler import ec_flux
+from ..physics.euler import ec_flux_fields
 
 
-def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nq, nfq,
+def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
                gamma, curved):
-    """One element block: out[f,i,k] = 2 sum_j A_ij . F(q_i, q_j)."""
-    nf = qh_ref.shape[0]
-    nh = qh_ref.shape[1]
-    kb = qh_ref.shape[2]
-
     qh = qh_ref[...]          # [Nf, Nh, KB]
     qlog = qlog_ref[...]      # [2, Nh, KB]
-    geo = geo_ref[...]        # [G, Ng, KB]
     qs = qs_ref[...]          # [dim, Nh, Nh]
+    geo = geo_ref[...]        # [G, Ng, KB]
+    dtype = qh.dtype
 
-    def partner_contrib(j, rows):
-        """Flux of rows 0..rows-1 against partner j, contracted with A."""
-        qi = qh[:, :rows, :]
-        li = qlog[:, :rows, :]
-        qj = qh[:, j, :][:, None, :]
-        lj = qlog[:, j, :][:, None, :]
-        fluxes = ec_flux(qi, qj, li, lj, gamma)   # dim x [Nf, rows, KB]
-        acc = jnp.zeros((nf, rows, kb), dtype=out_ref.dtype)
-        for rdir in range(dim):
-            a_col = qs[rdir, :rows, j][None, :, None]  # [1, rows, 1]
-            for xdir in range(dim):
-                g = geo[rdir * dim + xdir]                 # [Ng, KB]
-                if curved:
-                    gavg = 0.5 * (g[:rows, :] + g[j, :][None, :])
-                    acc += a_col * gavg[None] * fluxes[xdir]
-                else:
-                    acc += (a_col * g[None, 0:1, :]) * fluxes[xdir]
-        return acc
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nh, nh), 1)
 
-    def body_full(j, acc):
-        return acc + partner_contrib(j, nh)
+    qi_fields = tuple(qh[f] for f in range(nf))
+    logs_i = (qlog[0], qlog[1])
 
-    acc = jax.lax.fori_loop(0, nq, body_full, jnp.zeros_like(qh))
+    def body(j, acc):
+        sel_sub = (iota_sub == j).astype(dtype)        # [Nh, 1]
+        sel_lane = (iota_lane == j).astype(dtype)      # [Nh, Nh]
+        qj_fields = tuple(
+            jnp.sum(qh[f] * sel_sub, axis=0, keepdims=True) for f in range(nf)
+        )                                              # each [1, KB]
+        logs_j = tuple(
+            jnp.sum(qlog[l] * sel_sub, axis=0, keepdims=True) for l in range(2)
+        )
+        fluxes = ec_flux_fields(qi_fields, qj_fields, logs_i, logs_j, gamma)
 
-    # partners on the faces only couple to volume rows (face-face block
-    # of the skew operator is exactly zero)
-    def body_face(j, acc_q):
-        return acc_q + partner_contrib(j, nq)
+        a_cols = [
+            jnp.sum(qs[r] * sel_lane, axis=1, keepdims=True)   # [Nh, 1]
+            for r in range(dim)
+        ]
+        if curved:
+            geo_j = [
+                jnp.sum(geo[g] * sel_sub, axis=0, keepdims=True)
+                for g in range(dim * dim)
+            ]
+        new = []
+        for f in range(nf):
+            a = acc[f]
+            for rdir in range(dim):
+                for xdir in range(dim):
+                    g = geo[rdir * dim + xdir]
+                    if curved:
+                        g = 0.5 * (g + geo_j[rdir * dim + xdir])
+                    a = a + (a_cols[rdir] * g) * fluxes[xdir][f]
+            new.append(a)
+        return tuple(new)
 
-    acc_q = jax.lax.fori_loop(nq, nh, body_face, jnp.zeros((nf, nq, kb),
-                                                           dtype=out_ref.dtype))
-    out_ref[...] = 2.0 * (acc.at[:, :nq, :].add(acc_q))
+    acc0 = tuple(jnp.zeros(qh.shape[1:], dtype) for _ in range(nf))
+    acc = jax.lax.fori_loop(0, nh, body, acc0)
+    for f in range(nf):
+        out_ref[f] = 2.0 * acc[f]
 
 
 @functools.partial(
     jax.jit, static_argnames=("gamma", "nq", "block_k", "interpret")
 )
 def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
-                             block_k=128, interpret=False):
+                             block_k=256, interpret=False):
     """Pallas flux differencing; same contract as flux_differencing_xla.
 
     Args:
       qh:   [Nf, Nh, K]; qlog: [2, Nh, K]; q_skew: tuple of [Nh, Nh];
       geo:  [dim*dim, Ng, K], Ng in {1, Nh}.
-      nq:   number of volume quadrature points (first nq rows of Nh).
+      nq:   volume quadrature point count (interface parity with a
+            future face-face-skipping variant).
     """
+    del nq
     nf, nh, k = qh.shape
     dim = len(q_skew)
     curved = geo.shape[1] != 1
@@ -101,11 +112,11 @@ def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
         qlog = jnp.pad(qlog, ((0, 0), (0, 0), (0, pad)))
         geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
     kp = k + pad
+    ng = geo.shape[1]
 
     kernel = functools.partial(
-        _fd_kernel, dim=dim, nq=nq, nfq=nh - nq, gamma=gamma, curved=curved
+        _fd_kernel, dim=dim, nf=nf, nh=nh, gamma=gamma, curved=curved
     )
-    ng = geo.shape[1]
     out = pl.pallas_call(
         kernel,
         grid=(kp // kb,),

@@ -141,13 +141,12 @@ def euler_flux(u, gamma=GAMMA):
     rho, mom, e = _split(u)
     p = pfun(u, gamma)
     vel = mom / rho
+    dim = mom.shape[0]
     fluxes = []
-    for d in range(mom.shape[0]):
-        frho = mom[d]
-        fmom = mom * vel[d]
-        fmom = fmom.at[d].add(p)
+    for d in range(dim):
+        fmom = [mom[j] * vel[d] + (p if j == d else 0.0) for j in range(dim)]
         fe = vel[d] * (e + p)
-        fluxes.append(jnp.concatenate([frho[None], fmom, fe[None]], axis=0))
+        fluxes.append(jnp.stack([mom[d], *fmom, fe], axis=0))
     return tuple(fluxes)
 
 
@@ -161,6 +160,40 @@ def psi_fun(u, gamma=GAMMA):
 # entropy-conservative two-point fluxes (Chandrashekar)
 # -----------------------------------------------------------------------------
 
+def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA):
+    """EC two-point flux on unstacked field tuples.
+
+    Args:
+      ql_fields / qr_fields: tuples (rho, u_1..d, beta) of same-shape
+        arrays; logs_l / logs_r: tuples (log rho, log beta).
+
+    Returns a tuple over directions of per-field tuples
+    ((f_rho, f_mom..., f_e), ...).  No stacked-array indexing, so this
+    core is usable inside Pallas kernels (Mosaic has no dynamic-slice /
+    scatter on values).
+    """
+    rho_l, *vel_l, beta_l = ql_fields
+    rho_r, *vel_r, beta_r = qr_fields
+    dim = len(vel_l)
+
+    rholog = logmean(rho_l, rho_r, logs_l[0], logs_r[0])
+    betalog = logmean(beta_l, beta_r, logs_l[1], logs_r[1])
+
+    rhoavg = 0.5 * (rho_l + rho_r)
+    velavg = [0.5 * (a + b) for a, b in zip(vel_l, vel_r)]
+    vel_dot = sum(a * b for a, b in zip(vel_l, vel_r))
+    pa = rhoavg / (beta_l + beta_r)
+    e_plus_p = rholog / (2.0 * (gamma - 1.0) * betalog) + pa + 0.5 * rholog * vel_dot
+
+    fluxes = []
+    for d in range(dim):
+        f1 = rholog * velavg[d]
+        fmom = [f1 * velavg[j] + (pa if j == d else 0.0) for j in range(dim)]
+        fe = e_plus_p * velavg[d]
+        fluxes.append((f1, *fmom, fe))
+    return tuple(fluxes)
+
+
 def ec_flux(q_l, q_r, qlog_l=None, qlog_r=None, gamma=GAMMA):
     """Entropy-conservative two-point flux.
 
@@ -172,33 +205,16 @@ def ec_flux(q_l, q_r, qlog_l=None, qlog_r=None, gamma=GAMMA):
     Returns tuple of d stacked flux arrays (FxS, [FyS, [FzS]]), matching
     reference euler_fluxes_{1D,2D,3D}.jl.
     """
-    rho_l, vel_l, beta_l = _split(q_l)
-    rho_r, vel_r, beta_r = _split(q_r)
-    dim = vel_l.shape[0]
-
-    if qlog_l is None:
-        rholog_l, betalog_l = jnp.log(rho_l), jnp.log(beta_l)
-    else:
-        rholog_l, betalog_l = qlog_l[0], qlog_l[1]
-    if qlog_r is None:
-        rholog_r, betalog_r = jnp.log(rho_r), jnp.log(beta_r)
-    else:
-        rholog_r, betalog_r = qlog_r[0], qlog_r[1]
-
-    rholog = logmean(rho_l, rho_r, rholog_l, rholog_r)
-    betalog = logmean(beta_l, beta_r, betalog_l, betalog_r)
-
-    rhoavg = 0.5 * (rho_l + rho_r)
-    velavg = 0.5 * (vel_l + vel_r)
-    vel_dot = jnp.sum(vel_l * vel_r, axis=0)
-    pa = rhoavg / (beta_l + beta_r)
-    e_plus_p = rholog / (2.0 * (gamma - 1.0) * betalog) + pa + 0.5 * rholog * vel_dot
-
-    fluxes = []
-    for d in range(dim):
-        f1 = rholog * velavg[d]
-        fmom = f1 * velavg
-        fmom = fmom.at[d].add(pa)
-        fe = e_plus_p * velavg[d]
-        fluxes.append(jnp.concatenate([f1[None], fmom, fe[None]], axis=0))
-    return tuple(fluxes)
+    nf = q_l.shape[0]
+    ql_fields = tuple(q_l[i] for i in range(nf))
+    qr_fields = tuple(q_r[i] for i in range(nf))
+    logs_l = (
+        (jnp.log(q_l[0]), jnp.log(q_l[-1])) if qlog_l is None
+        else (qlog_l[0], qlog_l[1])
+    )
+    logs_r = (
+        (jnp.log(q_r[0]), jnp.log(q_r[-1])) if qlog_r is None
+        else (qlog_r[0], qlog_r[1])
+    )
+    fluxes = ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma)
+    return tuple(jnp.stack(f, axis=0) for f in fluxes)

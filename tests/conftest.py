@@ -19,3 +19,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin (sitecustomize) pins jax_platforms via
+# jax.config.update, which overrides the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
