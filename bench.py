@@ -43,7 +43,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    impl = os.environ.get("BENCH_FD_IMPL", "pallas")
+    impl = os.environ.get("BENCH_FD_IMPL", "lines")
     if jax.devices()[0].platform == "cpu":
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         k1d = int(os.environ.get("BENCH_K1D", 4))

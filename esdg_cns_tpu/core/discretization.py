@@ -30,7 +30,7 @@ from .ref_elem import RefElem
 
 _META = (
     "elem_type", "n", "dim", "nfaces", "num_elements", "np_", "nq", "nfq",
-    "nh", "affine", "periodic_axes",
+    "nh", "affine", "periodic_axes", "line_ops",
 )
 
 
@@ -48,6 +48,7 @@ class Discretization:
     nh: int
     affine: bool
     periodic_axes: tuple
+    line_ops: object          # LineOps for collocated quad/hex, else None
 
     # ---- reference operators (compute dtype) ----
     vq: jnp.ndarray          # [Nq, Np]
@@ -181,11 +182,18 @@ def build_discretization(
     flat_self = (np.arange(ref.nfq)[:, None] * k + np.arange(k)[None, :]).astype(np.int32)
     bmask_np = map_p_rm == flat_self
 
+    line_ops = None
+    if ref.elem_type in ("quad", "hex") and ref.collocated:
+        from ..ops.tensor_product_fd import LineOps
+
+        line_ops = LineOps.make(ref.n)
+
     f = lambda a: _to_dtype(a, dtype)
     return Discretization(
         elem_type=ref.elem_type, n=ref.n, dim=dim, nfaces=ref.nfaces,
         num_elements=k, np_=ref.np_, nq=ref.nq, nfq=ref.nfq, nh=ref.nh,
         affine=affine, periodic_axes=tuple(periodic_axes),
+        line_ops=line_ops,
         vq=f(ref.vq), vf=f(ref.vf), pq=f(ref.pq), lift=f(ref.lift),
         d=tuple(f(di) for di in ref.d),
         q_skew=tuple(f(qi) for qi in ref.q_skew),

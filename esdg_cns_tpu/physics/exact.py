@@ -108,3 +108,45 @@ class BeckerShock:
         )
         vel = self.v_inf + u
         return np.stack([rho, rho * vel, rho * (e + 0.5 * vel**2)], axis=0)
+
+    def velocity_jax(self, xi):
+        """Traceable bisection (for time-dependent BCs inside jit)."""
+        import jax
+        import jax.numpy as jnp
+
+        cv = 1.0 / (self.gamma - 1)
+        lk = self.kappa / self.m_0 / cv
+        v0, v1 = self.v_0, self.v_1
+        a = v0 / (v0 - v1)
+        b = v1 / (v0 - v1)
+        xi = jnp.asarray(xi)
+
+        def f(v):
+            return -xi + 2 * lk / (self.gamma + 1) * (
+                a * jnp.log(v0 - v) - b * jnp.log(v - v1)
+            )
+
+        eps = jnp.finfo(xi.dtype).eps
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            pos = f(mid) > 0
+            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+        lo0 = jnp.full_like(xi, v1 * (1 + 4 * eps))
+        hi0 = jnp.full_like(xi, v0 * (1 - 4 * eps))
+        lo, hi = jax.lax.fori_loop(0, 100, body, (lo0, hi0))
+        return 0.5 * (lo + hi)
+
+    def conservative_jax(self, x, t):
+        """Traceable exact state (stacked [3, ...])."""
+        import jax.numpy as jnp
+
+        u = self.velocity_jax(jnp.asarray(x) - self.v_inf * t)
+        rho = self.m_0 / u
+        e = 1.0 / (2 * self.gamma) * (
+            (self.gamma + 1) / (self.gamma - 1) * self.v_01**2 - u**2
+        )
+        vel = self.v_inf + u
+        return jnp.stack([rho, rho * vel, rho * (e + 0.5 * vel**2)], axis=0)

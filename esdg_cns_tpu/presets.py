@@ -6,9 +6,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .core import build_discretization, ref_hex
-from .mesh import uniform_hex_mesh
+from .core import build_discretization, ref_hex, ref_line, ref_tri
+from .mesh import uniform_hex_mesh, uniform_line_mesh, uniform_tri_mesh
 from .physics import primitive_to_conservative
+from .physics.exact import BeckerShock
+from .solvers.boundary import Region, WallBC, region_from_indicator
 
 
 def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
@@ -36,3 +38,86 @@ def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
     f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)
     q0 = primitive_to_conservative(f(rho), f(vel), f(p))
     return disc, q0
+
+
+def becker_shocktube_1d(n: int = 4, k: int = 128, xl: float = -2.0,
+                        xr: float = 2.0, shock: BeckerShock = None,
+                        dtype=None):
+    """1D CNS viscous shocktube with Dirichlet far-field BCs from the
+    exact Becker solution (reference dg1D_CNS_modalESDG.jl:83-348).
+
+    Returns (disc, q0, bc, shock).
+    """
+    shock = BeckerShock() if shock is None else shock
+    vx, etov = uniform_line_mesh(k, xl, xr)
+    disc = build_discretization(ref_line(n), (vx,), etov, dtype=dtype)
+    q0 = jnp.asarray(shock.conservative(np.asarray(disc.x[0]), 0.0),
+                     dtype=disc.wq.dtype)
+
+    xf = disc.xf[0]
+
+    def dirichlet_flux_vars(t):
+        from .physics import conservative_to_primitive_beta
+
+        u = shock.conservative_jax(xf, t)
+        return conservative_to_primitive_beta(u, shock.gamma)
+
+    def dirichlet_entropy_vars(t):
+        from .physics import v_ufun
+
+        return v_ufun(shock.conservative_jax(xf, t), shock.gamma)
+
+    region = Region(
+        mask=disc.bmask, kind="dirichlet", state=None,
+    )
+    bc = WallBC(disc, [region])
+    # attach the two stage-specific Dirichlet callables
+    bc.regions[0] = Region(mask=disc.bmask, kind="dirichlet",
+                           state=dirichlet_flux_vars)
+    bc._entropy_state = dirichlet_entropy_vars
+
+    # override the entropy-variable hook to use the entropy-space state
+    def entropy_vars(d, vuf, vup, t=0.0, _bc=bc):
+        return jnp.where(disc.bmask[None], dirichlet_entropy_vars(t), vup)
+
+    bc.entropy_vars = entropy_vars
+    return disc, q0, bc, shock
+
+
+def lid_driven_cavity(n: int = 3, k1d: int = 16, bctype: str = "isothermal",
+                      ma: float = 0.3, re: float = 1000.0,
+                      lid_profile=None, gamma: float = 1.4, dtype=None):
+    """2D CNS lid-driven cavity on [-1,1]^2 (reference
+    dg2D_CNS_cavity_optimized.jl: BCTYPE 1/2/3, Ma=.3, Re=1000).
+
+    Returns (disc, q0, bc, params dict).
+    """
+    vx, vy, etov = uniform_tri_mesh(k1d)
+    disc = build_discretization(ref_tri(n), (vx, vy), etov, dtype=dtype)
+
+    tol = 1e-10
+    lid = region_from_indicator(
+        disc, lambda x, y: np.abs(y - 1) < tol, bctype,
+        u_wall=(1.0, 0.0), theta=(1.0 / (ma * ma * gamma * (gamma - 1.0))
+                                  if bctype == "isothermal" else None),
+    )
+    if lid_profile is not None:
+        xl = np.asarray(disc.xf[0])
+        prof = lid_profile(xl)
+        lid = Region(mask=lid.mask, kind=bctype, u_wall=(jnp.asarray(prof), 0.0),
+                     theta=lid.theta)
+    walls = region_from_indicator(
+        disc, lambda x, y: np.abs(y - 1) >= tol, bctype,
+        u_wall=(0.0, 0.0), theta=(1.0 / (ma * ma * gamma * (gamma - 1.0))
+                                  if bctype == "isothermal" else None),
+    )
+    bc = WallBC(disc, [lid, walls])
+
+    sh = (disc.np_, disc.num_elements)
+    f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)
+    q0 = primitive_to_conservative(
+        f(np.ones(sh)), f(np.zeros((2, *sh))),
+        f(np.full(sh, 1.0 / (ma * ma * gamma))), gamma,
+    )
+    params = dict(mu=1.0 / re, pr=0.71, re=re, gamma=gamma, ma=ma)
+    return disc, q0, bc, params

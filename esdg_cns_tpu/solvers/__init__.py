@@ -1,5 +1,19 @@
 """Semi-discretizations: advection/wave/Euler/CNS RHS builders."""
 
+from .advection import make_advection_rhs, make_wave_rhs
+from .boundary import Region, WallBC, region_from_indicator
+from .cns import make_cns_rhs, make_viscous_rhs
 from .euler import entropy_projection, l2_error, make_euler_rhs
 
-__all__ = ["entropy_projection", "l2_error", "make_euler_rhs"]
+__all__ = [
+    "Region",
+    "WallBC",
+    "entropy_projection",
+    "l2_error",
+    "make_advection_rhs",
+    "make_cns_rhs",
+    "make_euler_rhs",
+    "make_viscous_rhs",
+    "make_wave_rhs",
+    "region_from_indicator",
+]

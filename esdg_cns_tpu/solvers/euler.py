@@ -74,15 +74,28 @@ def make_euler_rhs(
     Returns rhs(q) -> (dq/dt [Nf, Np, K], aux dict with 'rhstest').
     """
     nq = disc.nq
+    if flux_diff_impl == "auto":
+        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
     if flux_diff_impl == "pallas":
         from ..ops.pallas_fd import flux_differencing_pallas
 
         fd = functools.partial(flux_differencing_pallas, nq=nq)
+    elif flux_diff_impl == "lines":
+        from ..ops.tensor_product_fd import flux_differencing_lines
+
+        if disc.line_ops is None:
+            raise ValueError("'lines' requires a collocated quad/hex mesh")
+
+        def fd(qh, qlog, q_skew, geo, gamma):
+            del q_skew  # the Kronecker structure replaces the dense ops
+            return flux_differencing_lines(
+                qh, qlog, geo, gamma,
+                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
+            )
     else:
         fd = flux_differencing_xla
 
     def rhs(q: Array, t: float = 0.0):
-        del t  # Euler RHS is autonomous; BCs needing t close over it
         vu, uh = entropy_projection(disc, q, gamma)
         beta = phys.betafun(uh, gamma)
         qh = jnp.concatenate(
@@ -97,7 +110,7 @@ def make_euler_rhs(
         up = disc.gather_traces(uf)
 
         if bc_fun is not None:
-            qp, up = bc_fun(disc, qm, qp, uf, up)
+            qp, up = bc_fun(disc, qm, qp, uf, up, t)
 
         # --- surface flux ---
         fs = phys.ec_flux(qm, qp, gamma=gamma)

@@ -1,0 +1,120 @@
+"""Adaptive embedded DOPRI45 with PI step-size control under
+``lax.while_loop``.
+
+Parity with the reference's adaptive loop
+(dg2D_CNS_cavity_optimized.jl:919-1053): Dormand-Prince 5(4) pair with
+FSAL, Hairer seminorm error estimate, accept-if-errEst<1, PI controller
+dt_new = 0.8 dt (0.9/err)^(0.4/(p+1)) (prev/err)^(0.3/(p+1)), dt clamped
+to [dt_min, 10 dt0].  The error estimate is a global reduction (a psum
+under sharding — XLA SPMD inserts it automatically).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Dormand-Prince 5(4) tableau
+_A = np.zeros((7, 7))
+_A[1, 0] = 1 / 5
+_A[2, :2] = (3 / 40, 9 / 40)
+_A[3, :3] = (44 / 45, -56 / 15, 32 / 9)
+_A[4, :4] = (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729)
+_A[5, :5] = (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656)
+_A[6, :6] = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84)
+_C = np.array([0.0, 0.2, 0.3, 0.8, 8 / 9, 1.0, 1.0])
+# b - bhat: evolves the embedded error estimate
+_E = np.array([
+    71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200, 22 / 525, -1 / 40,
+])
+
+
+class DopriState(NamedTuple):
+    q: jnp.ndarray
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    prev_err: jnp.ndarray
+    k1: jnp.ndarray          # FSAL stage
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    last_aux: dict
+
+
+def dopri45(
+    rhs: Callable,
+    q0,
+    t_end: float,
+    dt0: float,
+    *,
+    t0: float = 0.0,
+    err_tol: float = 1e-5,
+    dt_min: float = 1e-9,
+    dt_max_factor: float = 10.0,
+):
+    """Integrate dq/dt = rhs(q, t) adaptively to t_end.
+
+    ``rhs(q, t) -> (dq, aux)`` with aux a dict of scalars.  Returns
+    (q_final, stats dict).  Jittable; the whole trajectory is one
+    ``lax.while_loop``.
+    """
+    dtype = q0.dtype
+    a = jnp.asarray(_A, dtype)
+    c = jnp.asarray(_C, dtype)
+    e = jnp.asarray(_E, dtype)
+    t_end = jnp.asarray(t_end, dtype)
+    order = 5
+
+    def body(s: DopriState) -> DopriState:
+        dt = jnp.minimum(s.dt, t_end - s.t)
+        ks = [s.k1]
+        aux = s.last_aux
+        for i in range(1, 7):
+            qi = s.q + dt * sum(a[i, j] * ks[j] for j in range(i))
+            ki, aux = rhs(qi, s.t + c[i] * dt)
+            ks.append(ki)
+        q_new = s.q + dt * sum(a[6, j] * ks[j] for j in range(6))  # = stage 7 arg
+
+        err_vec = sum(e[i] * ks[i] for i in range(7))
+        scale = err_tol * (1.0 + jnp.abs(s.q))
+        err = jnp.sqrt(jnp.mean((dt * err_vec / scale) ** 2))
+        err = jnp.maximum(err, jnp.asarray(1e-14, dtype))
+
+        accept = err < 1.0
+        q = jnp.where(accept, q_new, s.q)
+        t = jnp.where(accept, s.t + dt, s.t)
+        k1 = jnp.where(accept, ks[6], s.k1)  # FSAL
+
+        dtnew = 0.8 * dt * (0.9 / err) ** (0.4 / (order + 1))
+        dtnew = dtnew * (s.prev_err / err) ** (0.3 / (order + 1))
+        dtnew = jnp.clip(dtnew, dt_min, dt_max_factor * dt0)
+
+        return DopriState(
+            q=q, t=t, dt=dtnew, prev_err=err, k1=k1,
+            n_accepted=s.n_accepted + accept.astype(jnp.int32),
+            n_rejected=s.n_rejected + 1 - accept.astype(jnp.int32),
+            last_aux=aux,
+        )
+
+    k1_0, aux0 = rhs(q0, jnp.asarray(t0, dtype))
+    init = DopriState(
+        q=q0,
+        t=jnp.asarray(t0, dtype),
+        dt=jnp.asarray(dt0, dtype),
+        prev_err=jnp.asarray(1.0, dtype),
+        k1=k1_0,
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+        last_aux=aux0,
+    )
+    final = jax.lax.while_loop(lambda s: s.t < t_end, body, init)
+    stats = {
+        "t": final.t,
+        "dt": final.dt,
+        "n_accepted": final.n_accepted,
+        "n_rejected": final.n_rejected,
+        **{k: v for k, v in final.last_aux.items()},
+    }
+    return final.q, stats

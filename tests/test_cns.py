@@ -1,0 +1,91 @@
+"""CNS oracles, promoted from the reference driver checks (SURVEY.md 4):
+Becker viscous-shocktube accuracy/convergence (dg1D_CNS_modalESDG), wall
+BC entropy behavior on the cavity (dg2D_CNS_cavity_optimized), viscous
+entropy production sign, and the adaptive DOPRI45 stepper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esdg_cns_tpu.presets import becker_shocktube_1d, lid_driven_cavity
+from esdg_cns_tpu.solvers import make_cns_rhs
+from esdg_cns_tpu.timestepping import dopri45, ssprk33
+
+
+def _shocktube_error(n, k, t_end=0.02):
+    disc, q0, bc, shock = becker_shocktube_1d(n=n, k=k)
+    # the 1D reference uses coefficient (2 mu - lambda_1d) with
+    # lambda_1d = +2/3 mu, i.e. c2mu = 4/3 mu = 2 mu + lam with the
+    # standard lam = -2/3 mu (the default).
+    rhs = make_cns_rhs(disc, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True)
+    cn = (n + 1) * (n + 2) / 2
+    dt = 2.0 / (cn * k * k)
+    ns = int(np.ceil(t_end / dt))
+    qf, _ = jax.jit(lambda q: ssprk33(rhs, q, t_end / ns, ns))(q0)
+    # quadrature L2 error against the exact traveling wave
+    uex = shock.conservative(np.asarray(disc.xq[0]), t_end)
+    uq = jnp.einsum("ij,fjk->fik", disc.vq, qf)
+    err = np.sqrt(np.sum(np.asarray(disc.wjq)[None] * (np.asarray(uq) - uex) ** 2))
+    norm = np.sqrt(np.sum(np.asarray(disc.wjq)[None] * uex**2))
+    return err / norm
+
+
+def test_becker_shocktube_accuracy_and_convergence():
+    e1 = _shocktube_error(3, 16)
+    e2 = _shocktube_error(3, 32)
+    assert e2 < 0.6 * e1, f"no convergence: {e1:.3e} -> {e2:.3e}"
+    assert e2 < 2e-3, f"error too large: {e2:.3e}"
+
+
+@pytest.mark.parametrize("bctype", ["adiabatic", "isothermal", "slip"])
+def test_cavity_entropy_stability(bctype):
+    """Total entropy balance rhstest <= 0 with both dissipations on, and
+    viscous entropy production >= 0, for each wall BC type."""
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=4, bctype=bctype)
+    rhs = jax.jit(make_cns_rhs(
+        disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+    ))
+    # evolve a few steps so the lid has induced a nontrivial state
+    q = q0
+    dt = 1e-3
+    for _ in range(5):
+        dq, aux = rhs(q)
+        q = q + dt * dq
+    assert np.isfinite(np.asarray(q)).all()
+    assert float(aux["rhstest_visc"]) >= -1e-12  # sigma . grad v >= 0
+    # mathematical entropy should not be produced (dissipation)
+    assert float(aux["rhstest"]) < 1e-10
+
+
+def test_cavity_wall_no_slip_tendency():
+    """With an adiabatic lid, the flow near the lid must accelerate in
+    +x (the lid drags the fluid)."""
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=4, bctype="adiabatic")
+    rhs = jax.jit(make_cns_rhs(
+        disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+    ))
+    dq, _ = rhs(q0)
+    y = np.asarray(disc.x[1])
+    near_lid = y > 0.9
+    mom_x = np.asarray(dq[1])
+    assert mom_x[near_lid].mean() > 0
+
+
+def test_dopri45_adaptive():
+    """Adaptive stepper integrates the shocktube and adapts dt."""
+    disc, q0, bc, shock = becker_shocktube_1d(n=2, k=8)
+    rhs = make_cns_rhs(disc, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True)
+    t_end = 5e-3
+    qf, stats = jax.jit(
+        lambda q: dopri45(rhs, q, t_end, 1e-5, err_tol=1e-5)
+    )(q0)
+    assert float(stats["t"]) >= t_end - 1e-12
+    assert int(stats["n_accepted"]) > 0
+    assert np.isfinite(np.asarray(qf)).all()
+    # dt should have grown from the conservative initial guess
+    assert float(stats["dt"]) > 1e-5
