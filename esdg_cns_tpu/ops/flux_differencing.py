@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..physics.euler import ec_flux
 
 
-def flux_differencing_xla(qh, qlog, q_skew, geo, gamma):
+def flux_differencing_xla(qh, qlog, q_skew, geo, gamma, flux_fn=None):
     """All-pairs flux differencing via XLA broadcasting.
 
     Args:
@@ -43,12 +43,13 @@ def flux_differencing_xla(qh, qlog, q_skew, geo, gamma):
     """
     dim = len(q_skew)
     nh = qh.shape[1]
+    flux_fn = ec_flux if flux_fn is None else flux_fn
 
     qi = qh[:, :, None, :]      # [Nf, Nh, 1, K]
     qj = qh[:, None, :, :]      # [Nf, 1, Nh, K]
-    li = qlog[:, :, None, :]
-    lj = qlog[:, None, :, :]
-    fluxes = ec_flux(qi, qj, li, lj, gamma)  # dim x [Nf, Nh, Nh, K]
+    li = qlog[:, :, None, :] if qlog is not None else None
+    lj = qlog[:, None, :, :] if qlog is not None else None
+    fluxes = flux_fn(qi, qj, li, lj, gamma)  # dim x [Nf, Nh, Nh, K]
 
     curved = geo.shape[1] != 1
     qf = None

@@ -1,3 +1,10 @@
-from .sharding import shard_discretization
+from .halo import HaloExchange, build_halo_exchange
+from .sharding import make_sharded_euler_rhs, partition_specs, shard_discretization
 
-__all__ = ["shard_discretization"]
+__all__ = [
+    "HaloExchange",
+    "build_halo_exchange",
+    "make_sharded_euler_rhs",
+    "partition_specs",
+    "shard_discretization",
+]

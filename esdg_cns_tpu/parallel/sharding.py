@@ -51,3 +51,54 @@ def shard_discretization(mesh: Mesh, axis: str, disc: Discretization,
         jnp.asarray(q), NamedSharding(mesh, P(None, None, axis))
     )
     return disc_s, q_s
+
+
+def partition_specs(tree, k: int, axis: str):
+    """PartitionSpec pytree: shard every leaf with trailing dim K."""
+
+    def spec(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == k:
+            return P(*([None] * (leaf.ndim - 1) + [axis]))
+        return P()
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def make_sharded_euler_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
+                           **kw):
+    """ES-DG Euler RHS under shard_map with explicit ppermute halo
+    exchange (slab decomposition of the element axis).
+
+    Returns rhs(q, t=0.0) -> (dq, aux); q must be [Nf, Np, K] (global),
+    placed or re-sharded automatically by shard_map.
+    """
+    from jax import shard_map
+
+    from ..solvers.euler import make_euler_rhs
+    from .halo import build_halo_exchange
+
+    n = mesh.shape[axis]
+    halo = build_halo_exchange(disc, n, axis)
+    k = disc.num_elements
+    disc_specs = partition_specs(disc, k, axis)
+    halo_specs = partition_specs(halo, k, axis)
+    qspec = P(None, None, axis)
+
+    def fn(q, disc_in, halo_in):
+        rhs = make_euler_rhs(
+            disc_in, gather_fn=halo_in.gather, psum_axis=axis, **kw
+        )
+        return rhs(q)
+
+    sm = shard_map(
+        fn, mesh=mesh,
+        in_specs=(qspec, disc_specs, halo_specs),
+        out_specs=(qspec, P()),
+    )
+
+    def rhs(q, t=0.0):
+        del t
+        return sm(q, disc, halo)
+
+    return rhs

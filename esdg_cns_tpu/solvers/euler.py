@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..core.discretization import Discretization
@@ -59,6 +60,8 @@ def make_euler_rhs(
     bc_fun: Optional[Callable] = None,
     flux_diff_impl: str = "xla",
     compute_rhstest: bool = True,
+    gather_fn: Optional[Callable] = None,
+    psum_axis: Optional[str] = None,
 ):
     """Build the jittable ES-DG Euler RHS.
 
@@ -69,7 +72,12 @@ def make_euler_rhs(
       bc_fun: optional boundary hook ``bc_fun(ctx) -> (qp, up)`` applied
         to the gathered neighbor traces, where ctx carries (qm, qp, um,
         up, normals, bmask).  Periodicity is already baked into mapP.
-      flux_diff_impl: 'xla' (portable) or 'pallas' (fused TPU kernel).
+      flux_diff_impl: 'xla' (portable), 'lines' (tensor-product sparse,
+        collocated quad/hex) or 'pallas' (fused TPU kernel).
+      gather_fn: override for the neighbor-trace gather (the shard_map
+        halo-exchange path passes HaloExchange.gather here).
+      psum_axis: mesh axis over which diagnostics are all-reduced when
+        running inside shard_map.
 
     Returns rhs(q) -> (dq/dt [Nf, Np, K], aux dict with 'rhstest').
     """
@@ -95,6 +103,8 @@ def make_euler_rhs(
     else:
         fd = flux_differencing_xla
 
+    gather = disc.gather_traces if gather_fn is None else gather_fn
+
     def rhs(q: Array, t: float = 0.0):
         vu, uh = entropy_projection(disc, q, gamma)
         beta = phys.betafun(uh, gamma)
@@ -106,8 +116,8 @@ def make_euler_rhs(
         # --- face traces + neighbor exchange ---
         qm = qh[:, nq:, :]
         uf = uh[:, nq:, :]
-        qp = disc.gather_traces(qm)
-        up = disc.gather_traces(uf)
+        qp = gather(qm)
+        up = gather(uf)
 
         if bc_fun is not None:
             qp, up = bc_fun(disc, qm, qp, uf, up, t)
@@ -119,7 +129,7 @@ def make_euler_rhs(
             rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
             rhoun = rhoun * disc.inv_sj
             lam = phys.wavespeed(uf[0], rhoun, uf[-1], gamma)
-            lam_p = disc.gather_traces(lam)
+            lam_p = gather(lam[None])[0]
             lfc = 0.25 * jnp.maximum(lam, lam_p) * disc.sj
             flux = flux - lfc[None] * (up - uf)
         rhs_surf = _apply(disc.lift, flux)
@@ -130,9 +140,10 @@ def make_euler_rhs(
 
         aux = {}
         if compute_rhstest:
-            aux["rhstest"] = jnp.sum(
-                disc.wjq[None] * vu * _apply(disc.vq, rhs_q)
-            )
+            rt = jnp.sum(disc.wjq[None] * vu * _apply(disc.vq, rhs_q))
+            if psum_axis is not None:
+                rt = jax.lax.psum(rt, psum_axis)
+            aux["rhstest"] = rt
         return rhs_q, aux
 
     return rhs

@@ -1,0 +1,120 @@
+"""Multi-device equivalence on the virtual 8-device CPU mesh:
+pjit/SPMD element sharding and the explicit shard_map + ppermute halo
+exchange must both reproduce the single-device RHS bitwise (or to f64
+roundoff), and the psum'd diagnostics must match."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from esdg_cns_tpu.core import build_discretization, ref_hex, ref_tri
+from esdg_cns_tpu.mesh import uniform_hex_mesh, uniform_tri_mesh
+from esdg_cns_tpu.parallel import (
+    build_halo_exchange,
+    make_sharded_euler_rhs,
+    shard_discretization,
+)
+from esdg_cns_tpu.physics import primitive_to_conservative
+from esdg_cns_tpu.solvers import make_euler_rhs
+from esdg_cns_tpu.timestepping import lsrk45
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _tri_setup(k1d=8, n=2):
+    vx, vy, etov = uniform_tri_mesh(k1d)
+    disc = build_discretization(ref_tri(n), (vx, vy), etov, periodic_axes=(0, 1))
+    rng = np.random.default_rng(0)
+    sh = (disc.np_, disc.num_elements)
+    q = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    return disc, q
+
+
+def test_pjit_spmd_equivalence():
+    disc, q = _tri_setup()
+    ref_rhs = jax.jit(make_euler_rhs(disc, dissipation=True))
+    dq_ref, aux_ref = ref_rhs(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    disc_s, q_s = shard_discretization(mesh, "e", disc, q)
+    dq_s, aux_s = jax.jit(make_euler_rhs(disc_s, dissipation=True))(q_s)
+    np.testing.assert_allclose(
+        np.asarray(dq_s), np.asarray(dq_ref), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(aux_s["rhstest"]), float(aux_ref["rhstest"]), atol=1e-10
+    )
+
+
+def test_shard_map_halo_equivalence():
+    disc, q = _tri_setup()
+    ref_rhs = jax.jit(make_euler_rhs(disc, dissipation=True))
+    dq_ref, aux_ref = ref_rhs(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    rhs_sm = jax.jit(make_sharded_euler_rhs(mesh, disc, dissipation=True))
+    dq_sm, aux_sm = rhs_sm(q)
+    np.testing.assert_allclose(
+        np.asarray(dq_sm), np.asarray(dq_ref), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["rhstest"]), float(aux_ref["rhstest"]), atol=1e-10
+    )
+
+
+def test_halo_round_trip():
+    """Halo gather of face coordinates returns coincident coordinates
+    (shard-consistency check, SURVEY.md section 5 race-detection row)."""
+    disc, _ = _tri_setup()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    halo = build_halo_exchange(disc, 8)
+    from esdg_cns_tpu.parallel.sharding import partition_specs
+    from jax import shard_map
+
+    specs = partition_specs(halo, disc.num_elements, "e")
+
+    f = shard_map(
+        lambda xf, h: h.gather(xf),
+        mesh=mesh,
+        in_specs=(P(None, "e"), specs),
+        out_specs=P(None, "e"),
+    )
+    for c in disc.xf:
+        got = f(c, halo)
+        # periodic wrapping: coordinates agree modulo the period
+        d = np.abs(np.asarray(got) - np.asarray(c))
+        assert np.all((d < 1e-10) | (np.abs(d - 2.0) < 1e-10))
+
+
+def test_sharded_time_integration():
+    """Full LSRK45 trajectory under the halo-exchange RHS matches the
+    single-device trajectory."""
+    disc, q = _tri_setup(k1d=8, n=2)
+    rhs_ref = make_euler_rhs(disc, dissipation=True, compute_rhstest=False)
+    qf_ref, _ = jax.jit(lambda q0: lsrk45(rhs_ref, q0, 1e-3, 5))(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    rhs_sm = make_sharded_euler_rhs(
+        mesh, disc, dissipation=True, compute_rhstest=False
+    )
+    qf_sm, _ = jax.jit(lambda q0: lsrk45(rhs_sm, q0, 1e-3, 5))(q)
+    np.testing.assert_allclose(
+        np.asarray(qf_sm), np.asarray(qf_ref), rtol=1e-11, atol=1e-11
+    )
+
+
+def test_halo_rejects_non_neighbor_partition():
+    vx, vy, vz, etov = uniform_hex_mesh(2)
+    disc = build_discretization(
+        ref_hex(1), (vx, vy, vz), etov, periodic_axes=(0, 1, 2)
+    )
+    with pytest.raises(ValueError):
+        build_halo_exchange(disc, 8)  # slabs of 1 element: y/z neighbors far
