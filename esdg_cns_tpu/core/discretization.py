@@ -30,7 +30,7 @@ from .ref_elem import RefElem
 
 _META = (
     "elem_type", "n", "dim", "nfaces", "num_elements", "np_", "nq", "nfq",
-    "nh", "affine", "periodic_axes", "line_ops",
+    "nh", "affine", "periodic_axes", "line_ops", "grid_shape",
 )
 
 
@@ -49,6 +49,8 @@ class Discretization:
     affine: bool
     periodic_axes: tuple
     line_ops: object          # LineOps for collocated quad/hex, else None
+    grid_shape: tuple         # (kz, ky, kx) for fully periodic uniform
+                              # hex grids in generator order, else None
 
     # ---- reference operators (compute dtype) ----
     vq: jnp.ndarray          # [Nq, Np]
@@ -79,7 +81,27 @@ class Discretization:
     bmask: jnp.ndarray       # bool [Nfq, K] true on (non-periodic) boundary
 
     def gather_traces(self, uf: jnp.ndarray) -> jnp.ndarray:
-        """Neighbor values: uf may be [Nfq, K] or [Nf, Nfq, K]."""
+        """Neighbor values: uf may be [Nfq, K] or [Nf, Nfq, K].
+
+        On fully periodic uniform hex grids (grid_shape set) the generic
+        XLA gather is replaced by six rolls along the structured element
+        axes — cheap static data movement on TPU.
+        """
+        if self.grid_shape is not None and self.elem_type == "hex":
+            lead = uf.shape[:-2]
+            nfp = self.nfq // 6
+            v = uf.reshape(*lead, 6, nfp, *self.grid_shape)  # (.., f, p, z, y, x)
+            az = uf.ndim - 2 + 1  # z axis position after reshape
+            rolls = [
+                jnp.roll(v[..., 1, :, :, :, :], 1, axis=az + 2),   # face r-
+                jnp.roll(v[..., 0, :, :, :, :], -1, axis=az + 2),  # face r+
+                jnp.roll(v[..., 3, :, :, :, :], 1, axis=az + 1),   # face s-
+                jnp.roll(v[..., 2, :, :, :, :], -1, axis=az + 1),  # face s+
+                jnp.roll(v[..., 5, :, :, :, :], 1, axis=az),       # face t-
+                jnp.roll(v[..., 4, :, :, :, :], -1, axis=az),      # face t+
+            ]
+            out = jnp.stack(rolls, axis=len(lead))
+            return out.reshape(uf.shape)
         flat = uf.reshape(*uf.shape[:-2], self.nfq * self.num_elements)
         return jnp.take(flat, self.map_p.reshape(-1), axis=-1).reshape(uf.shape)
 
@@ -95,6 +117,7 @@ def build_discretization(
     periodic_axes: tuple = (),
     curved_map=None,
     dtype: Optional[jnp.dtype] = None,
+    grid_shape: Optional[tuple] = None,
 ) -> Discretization:
     """Assemble the full device-resident discretization.
 
@@ -182,6 +205,12 @@ def build_discretization(
     flat_self = (np.arange(ref.nfq)[:, None] * k + np.arange(k)[None, :]).astype(np.int32)
     bmask_np = map_p_rm == flat_self
 
+    if grid_shape is not None:
+        if ref.elem_type != "hex" or len(periodic_axes) != dim:
+            raise ValueError("grid_shape needs a fully periodic hex mesh")
+        if int(np.prod(grid_shape)) != k:
+            raise ValueError("grid_shape does not match element count")
+
     line_ops = None
     if ref.elem_type in ("quad", "hex") and ref.collocated:
         from ..ops.tensor_product_fd import LineOps
@@ -194,6 +223,7 @@ def build_discretization(
         num_elements=k, np_=ref.np_, nq=ref.nq, nfq=ref.nfq, nh=ref.nh,
         affine=affine, periodic_axes=tuple(periodic_axes),
         line_ops=line_ops,
+        grid_shape=tuple(grid_shape) if grid_shape is not None else None,
         vq=f(ref.vq), vf=f(ref.vf), pq=f(ref.pq), lift=f(ref.lift),
         d=tuple(f(di) for di in ref.d),
         q_skew=tuple(f(qi) for qi in ref.q_skew),

@@ -28,7 +28,7 @@ def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
             return x + d, y + d, z + d
     disc = build_discretization(
         ref_hex(n), (vx, vy, vz), etov, periodic_axes=(0, 1, 2),
-        curved_map=warp, dtype=dtype,
+        curved_map=warp, dtype=dtype, grid_shape=(k1d, k1d, k1d),
     )
     rng = np.random.default_rng(seed)
     sh = (disc.np_, disc.num_elements)

@@ -43,8 +43,15 @@ def entropy_projection(disc: Discretization, q: Array, gamma: float):
     """U at solution nodes -> (VU at quad, U at hybridized points).
 
     Reference dg2D_euler_tri.jl:138-140.  For collocated quad/hex
-    elements Vq = I and VhP = [I; Ef] so XLA folds the identity matmuls.
+    elements VhP = [I; Ef], so u_vfun(v_ufun(U)) is the identity on the
+    volume block — only the face extrapolation needs the (transcendental-
+    heavy) inverse map, matching the reference's collocated shortcut
+    Uh = [Q; u_vfun(Ef v_ufun(Q))] (dg3D_euler_hex.jl:176-178).
     """
+    if disc.line_ops is not None:  # collocated quad/hex
+        vu = phys.v_ufun(q, gamma)
+        uf = phys.u_vfun(_apply(disc.vhp[disc.nq:], vu), gamma)
+        return vu, jnp.concatenate([q, uf], axis=1)
     uq = _apply(disc.vq, q)
     vu = phys.v_ufun(uq, gamma)
     vuh = _apply(disc.vhp, vu)

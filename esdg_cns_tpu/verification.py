@@ -1,0 +1,95 @@
+"""Verification harnesses (reference SURVEY.md 3.5).
+
+``wall_bc_convergence_study`` reproduces the reference's wall-BC
+convergence sweep (dg2D_CNS_convergence_test.jl:836-1089): for each
+(N, K1D, inviscid/viscous dissipation, Re) cell, solve the cavity with
+the regularized lid profile vlid = (1 + cos(pi x))/2 to time T and
+measure the boundary-weighted L2 mismatch of the velocity trace against
+the lid/wall data.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .presets import lid_driven_cavity
+from .solvers import make_cns_rhs
+from .timestepping import dopri45
+
+
+def regularized_lid(x):
+    """vlid = (1 + cos(pi x)) / 2 (dg2D_CNS_convergence_test.jl:75)."""
+    return (1.0 + np.cos(np.pi * np.asarray(x))) / 2.0
+
+
+def boundary_velocity_error(disc, q, lid_mask, wall_mask, lid_profile):
+    """Weighted boundary L2 mismatch of (u, v) vs lid/wall data
+    (dg2D_CNS_convergence_test.jl:1070-1082)."""
+    qf = jnp.einsum("ij,fjk->fik", disc.vf, q)
+    u = qf[1] / qf[0]
+    v = qf[2] / qf[0]
+    w = disc.wf[:, None] * disc.sj
+    err = (
+        jnp.sum(w * jnp.where(lid_mask, (u - lid_profile) ** 2 + v**2, 0.0))
+        + jnp.sum(w * jnp.where(wall_mask, u**2 + v**2, 0.0))
+    )
+    norm = jnp.sum(w * jnp.where(lid_mask, lid_profile**2, 0.0))
+    return jnp.sqrt(err / norm)
+
+
+def wall_bc_convergence_study(
+    orders: Sequence[int] = (1, 2, 3, 4),
+    k1d: int = 32,
+    bctype: str = "adiabatic",
+    reynolds: Sequence[float] = (100.0,),
+    dissipation_cases: Sequence[tuple] = ((False, False), (True, True)),
+    t_end: float = 1.0,
+    err_tol: float = 1e-5,
+    output_path: str | None = None,
+):
+    """Nested sweep N x Re x (inviscid_dissp, viscous_dissp).
+
+    Returns a dict mapping (n, re, inv_d, visc_d) -> boundary L2 error.
+    """
+    results = {}
+    for n, re, (inv_d, visc_d) in itertools.product(
+        orders, reynolds, dissipation_cases
+    ):
+        disc, q0, bc, p = lid_driven_cavity(
+            n=n, k1d=k1d, bctype=bctype, re=re, lid_profile=regularized_lid
+        )
+        rhs = make_cns_rhs(
+            disc, mu=p["mu"], pr=p["pr"], re=re, bc=bc,
+            inviscid_dissipation=inv_d, viscous_dissipation=visc_d,
+            compute_rhstest=False,
+        )
+        cn = (n + 1) * (n + 2) / 2
+        dt0 = min(0.25 * (2.0 / k1d) / cn, 2.0 / (cn * k1d**2))
+        qf, stats = jax.jit(
+            lambda q: dopri45(rhs, q, t_end, dt0, err_tol=err_tol)
+        )(q0)
+
+        lid_mask = bc.regions[0].mask
+        wall_mask = bc.regions[1].mask
+        prof = jnp.asarray(regularized_lid(np.asarray(disc.xf[0])),
+                           dtype=disc.wq.dtype)
+        err = float(
+            boundary_velocity_error(disc, qf, lid_mask, wall_mask, prof)
+        )
+        results[(n, float(re), inv_d, visc_d)] = err
+
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(
+                [{"n": k[0], "re": k[1], "inviscid_dissp": k[2],
+                  "viscous_dissp": k[3], "boundary_l2_error": v}
+                 for k, v in results.items()],
+                f, indent=2,
+            )
+    return results

@@ -1,0 +1,110 @@
+"""Framework-level surfaces: typed config runner, checkpoint/resume,
+metrics logging, NaN guard, convergence harness (tiny instance),
+structured exchange equivalence."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esdg_cns_tpu.config import SimConfig, build_problem, run_simulation
+from esdg_cns_tpu.physics import primitive_to_conservative
+from esdg_cns_tpu.presets import euler_hex_3d
+from esdg_cns_tpu.utils.checkpoint import CheckpointManager
+from esdg_cns_tpu.utils.metrics import MetricsLogger, check_finite_or_raise, nan_guard
+from esdg_cns_tpu.verification import wall_bc_convergence_study
+
+
+def test_config_runner_advection():
+    cfg = SimConfig(equation="advection", elem_type="line", n=3, k1d=8,
+                    t_end=0.25, cfl=0.25)
+    disc, rhs = build_problem(cfg)
+    u0 = jnp.sin(jnp.pi * disc.x[0])
+    uf, _ = run_simulation(cfg, u0, rhs)
+    uex = jnp.sin(jnp.pi * (disc.x[0] - cfg.t_end))
+    assert float(jnp.abs(uf - uex).max()) < 1e-3
+
+
+def test_config_runner_euler_dopri():
+    cfg = SimConfig(equation="euler", elem_type="tri", n=2, k1d=3,
+                    t_end=0.01, stepper="dopri45")
+    disc, rhs = build_problem(cfg)
+    rng = np.random.default_rng(0)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.1 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    qf, stats = run_simulation(cfg, q0, rhs)
+    assert float(stats["t"]) >= cfg.t_end - 1e-12
+    assert np.isfinite(np.asarray(qf)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state = {
+        "q": jnp.arange(12.0).reshape(3, 4),
+        "t": jnp.asarray(0.5),
+        "step": 7,
+    }
+    mgr.save(7, state)
+    assert mgr.latest_step() == 7
+    restored = mgr.restore(template=state)
+    np.testing.assert_allclose(np.asarray(restored["q"]), np.asarray(state["q"]))
+    assert float(restored["t"]) == 0.5
+
+
+def test_metrics_logger_inside_scan():
+    logger = MetricsLogger()
+
+    @jax.jit
+    def run(x):
+        def step(c, i):
+            c = c * 0.5
+            logger.log(step=i, value=jnp.sum(c))
+            return c, None
+
+        return jax.lax.scan(step, x, jnp.arange(4))[0]
+
+    out = run(jnp.ones(3))
+    jax.effects_barrier()
+    assert len(logger.rows) == 4
+    assert logger.history("value")[0] > logger.history("value")[-1]
+
+
+def test_nan_guard():
+    q = jnp.ones((2, 3))
+    assert not bool(nan_guard(q))
+    assert bool(nan_guard(q.at[0, 0].set(jnp.nan)))
+    check_finite_or_raise(q)
+    try:
+        check_finite_or_raise(q.at[0, 0].set(jnp.inf))
+        raise AssertionError("should have raised")
+    except FloatingPointError:
+        pass
+
+
+def test_wall_bc_convergence_harness_smoke(tmp_path):
+    out = tmp_path / "err.json"
+    res = wall_bc_convergence_study(
+        orders=(1,), k1d=3, reynolds=(100.0,),
+        dissipation_cases=((True, True),), t_end=0.02,
+        output_path=str(out),
+    )
+    assert len(res) == 1
+    err = next(iter(res.values()))
+    assert np.isfinite(err) and err < 2.0
+    assert out.exists()
+
+
+def test_structured_exchange_equivalence():
+    disc, _ = euler_hex_3d(n=1, k1d=3)
+    assert disc.grid_shape == (3, 3, 3)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((5, disc.nfq, disc.num_elements)))
+    plain = dataclasses.replace(disc, grid_shape=None)
+    np.testing.assert_array_equal(
+        np.asarray(disc.gather_traces(u)), np.asarray(plain.gather_traces(u))
+    )
