@@ -121,3 +121,56 @@ def lid_driven_cavity(n: int = 3, k1d: int = 16, bctype: str = "isothermal",
     )
     params = dict(mu=1.0 / re, pr=0.71, re=re, gamma=gamma, ma=ma)
     return disc, q0, bc, params
+
+
+def becker_shocktube_2d(n: int = 2, k1d: int = 16, xl: float = -2.0,
+                        xr: float = 2.0, shock: BeckerShock = None,
+                        dtype=None):
+    """2D CNS viscous shocktube: the 1D Becker wave extended in y,
+    periodic in y, Dirichlet inflow/outflow in x (reference
+    dg2D_CNS_modalESDG.jl:22-27,161-217).
+
+    Returns (disc, q0, bc, shock).
+    """
+    import jax.numpy as jnp
+
+    shock = BeckerShock(mu=0.01) if shock is None else shock
+    vx, vy, etov = uniform_tri_mesh(k1d, max(k1d // 4, 1))
+    vx = xl + (xr - xl) * (1 + vx) / 2
+    vy = 0.5 * vy
+    disc = build_discretization(ref_tri(n), (vx, vy), etov,
+                                periodic_axes=(1,), dtype=dtype)
+
+    u1d = shock.conservative(np.asarray(disc.x[0]).ravel(), 0.0)
+    sh = (disc.np_, disc.num_elements)
+    q0 = jnp.asarray(
+        np.stack([u1d[0].reshape(sh), u1d[1].reshape(sh),
+                  np.zeros(sh), u1d[2].reshape(sh)]),
+        dtype=disc.wq.dtype,
+    )
+
+    xf = disc.xf[0]
+
+    def exact_2d(t):
+        u = shock.conservative_jax(xf, t)  # [3, Nfq, K]
+        z = jnp.zeros_like(u[0])
+        return jnp.stack([u[0], u[1], z, u[2]])
+
+    def dirichlet_flux_vars(t):
+        from .physics import conservative_to_primitive_beta
+
+        return conservative_to_primitive_beta(exact_2d(t), shock.gamma)
+
+    def dirichlet_entropy_vars(t):
+        from .physics import v_ufun
+
+        return v_ufun(exact_2d(t), shock.gamma)
+
+    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
+                              state=dirichlet_flux_vars)])
+
+    def entropy_vars(d, vuf, vup, t=0.0):
+        return jnp.where(disc.bmask[None], dirichlet_entropy_vars(t), vup)
+
+    bc.entropy_vars = entropy_vars
+    return disc, q0, bc, shock

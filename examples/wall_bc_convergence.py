@@ -1,0 +1,35 @@
+"""Wall-BC convergence study: sweep N (x Re x dissipation flags) on the
+regularized-lid cavity, boundary-weighted velocity L2 error.
+
+Parity workload: reference
+examples/CompressibleNS/dg2D_CNS_convergence_test.jl (writes err_arr.txt;
+here errors go to wall_bc_errors.json).
+"""
+
+import os
+
+from common import env_float, env_int
+
+from esdg_cns_tpu.verification import wall_bc_convergence_study
+
+
+def main():
+    orders = tuple(
+        int(s) for s in os.environ.get("ORDERS", "1,2,3,4").split(",")
+    )
+    res = wall_bc_convergence_study(
+        orders=orders,
+        k1d=env_int("K1D", 32),
+        bctype=os.environ.get("BCTYPE", "adiabatic"),
+        reynolds=(env_float("RE", 100.0),),
+        dissipation_cases=((True, True),),
+        t_end=env_float("T", 1.0),
+        output_path=os.environ.get("OUT", "wall_bc_errors.json"),
+    )
+    for (n, re, inv_d, visc_d), err in sorted(res.items()):
+        print(f"N={n} Re={re} dissipation=({inv_d},{visc_d}): "
+              f"boundary L2 error = {err:.6e}")
+
+
+if __name__ == "__main__":
+    main()
