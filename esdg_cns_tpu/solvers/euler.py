@@ -128,9 +128,12 @@ def make_euler_rhs(
 
         if bc_fun is not None:
             qp, up = bc_fun(disc, qm, qp, uf, up, t)
-
-        # --- surface flux ---
-        fs = phys.ec_flux(qm, qp, gamma=gamma)
+            # ghost states may change rho/beta; recompute logs
+            fs = phys.ec_flux(qm, qp, qlog[:, nq:, :], None, gamma=gamma)
+        else:
+            # periodic: neighbor logs are a gather of the precomputed logs
+            qm_log = qlog[:, nq:, :]
+            fs = phys.ec_flux(qm, qp, qm_log, gather(qm_log), gamma=gamma)
         flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
         if dissipation:
             rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
