@@ -64,6 +64,7 @@ class Discretization:
     vhp: jnp.ndarray         # [Nh, Nq]
     wq: jnp.ndarray          # [Nq]
     wf: jnp.ndarray          # [Nfq]
+    vp: jnp.ndarray          # [Nplot, Np] plotting interpolation
 
     # ---- mesh arrays ----
     x: tuple                 # dim x [Np, K] nodal coordinates
@@ -228,7 +229,7 @@ def build_discretization(
         d=tuple(f(di) for di in ref.d),
         q_skew=tuple(f(qi) for qi in ref.q_skew),
         vh=f(ref.vh), ph=f(ref.ph), vhp=f(ref.vhp),
-        wq=f(ref.wq), wf=f(ref.wf),
+        wq=f(ref.wq), wf=f(ref.wf), vp=f(ref.vp),
         x=tuple(f(c) for c in coords),
         xq=tuple(f(c) for c in xq_np),
         xf=tuple(f(c) for c in xf_np),
