@@ -42,8 +42,8 @@ NORTH_STAR = 1.0e9  # DOF * RK-stage / s
 def main():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 16))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
-    impl = os.environ.get("BENCH_FD_IMPL", "lines")
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    impl = os.environ.get("BENCH_FD_IMPL", "lines_pallas")
     if jax.devices()[0].platform == "cpu":
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         k1d = int(os.environ.get("BENCH_K1D", 4))
@@ -61,10 +61,11 @@ def main():
 
     q0 = jax.device_put(q0)
     run(q0).block_until_ready()  # compile + warm up
-    t0 = time.perf_counter()
-    out = run(q0)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")       # best-of-3 (tunneled-device timing noise)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(q0).block_until_ready()
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     dof = 5 * disc.np_ * disc.num_elements
     stages = 5 * steps

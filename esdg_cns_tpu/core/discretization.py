@@ -188,7 +188,10 @@ def build_discretization(
     geo_h = np.stack([ref.vh @ g for g in geo_list], axis=0)  # [dim*dim, Nh, K]
     spread = np.abs(geo_h - geo_h.mean(axis=1, keepdims=True)).max()
     scale = max(np.abs(geo_h).max(), 1e-300)
-    affine = bool(spread < 1e-11 * scale)
+    # the 3D curl-form construction carries O(eps) absolute roundoff from
+    # O(1) coordinates, so the per-element spread of truly affine metrics
+    # can reach ~1e-13 even when |geo| ~ h^2; use a loose relative gate
+    affine = bool(spread < 1e-6 * scale)
     if affine:
         geo_h = geo_h.mean(axis=1, keepdims=True)  # [dim*dim, 1, K]
     geo_nodal = np.stack(geo_list, axis=0)         # [dim*dim, Np, K]

@@ -237,3 +237,194 @@ def flux_differencing_lines(qh, qlog, geo, gamma, *, elem_type: str,
         ]
         out_rows.append(jnp.concatenate([acc_vol[f], *face_rows], axis=0))
     return 2.0 * jnp.stack(out_rows, axis=0)
+
+
+def _hex_line_coeffs(line_ops: LineOps):
+    """Host-built coefficient tensors for the Pallas hex kernel.
+
+    cvol[d*n1d + ap, i] = wgroup_d(i) * S1[a_d(i), ap]
+    cface[d*2 + side, i] = (-+) 0.5 * wgroup_d(i) * e(-+)[a_d(i)]
+    (replicated over 128 lanes so they can ship as VMEM blocks).
+    """
+    n1 = line_ops.n1d
+    s1 = np.asarray(line_ops.s1)
+    em = np.asarray(line_ops.e_minus)
+    ep = np.asarray(line_ops.e_plus)
+    w1 = np.asarray(line_ops.w1)
+    nq = n1 ** 3
+    idx = np.arange(nq)
+    coord = [idx % n1, (idx // n1) % n1, idx // (n1 * n1)]
+    wq = w1[coord[0]] * w1[coord[1]] * w1[coord[2]]
+
+    cvol = np.zeros((3 * n1, nq))
+    cface = np.zeros((6, nq))
+    for d in range(3):
+        a = coord[d]
+        wg = wq / w1[a]
+        for ap in range(n1):
+            cvol[d * n1 + ap] = wg * s1[a, ap]
+        cface[d * 2 + 0] = -0.5 * wg * em[a]
+        cface[d * 2 + 1] = 0.5 * wg * ep[a]
+    rep = lambda c: np.repeat(c[:, :, None], 128, axis=2)
+    return rep(cvol), rep(cface)
+
+
+def _hex_lines_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
+                      out_ref, *, n1, gamma, curved):
+    """Fused line-sparse flux differencing for one hex element block.
+
+    Entire partner loop unrolled on VMEM values; no HBM intermediates.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = qh_ref.shape[0]
+    kb = qh_ref.shape[2]
+
+    qh = qh_ref[...]
+    qlog = qlog_ref[...]
+    geo = geo_ref[...]
+    cvol = cvol_ref[...]
+    cface = cface_ref[...]
+
+    shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
+    axes = {0: 1, 1: 1, 2: 0}
+
+    acc_vol = [jnp.zeros((nq, kb), qh.dtype) for _ in range(nf)]
+    face_out = {}
+
+    vol = [qh[f, :nq] for f in range(nf)]
+    vlog = [qlog[l, :nq] for l in range(2)]
+
+    for d in range(3):
+        shape, axis = shapes[d], axes[d]
+        vshape = (*shape, kb)
+        vol_d = [v.reshape(vshape) for v in vol]
+        log_d = [l.reshape(vshape) for l in vlog]
+
+        if curved:
+            geo_d = [geo[d * 3 + x, :nq].reshape(vshape) for x in range(3)]
+        else:
+            geo_d = [
+                geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
+                for x in range(3)
+            ]
+
+        def contract(fluxes, gj=None):
+            out = []
+            for f in range(nf):
+                t = None
+                for x in range(3):
+                    g = geo_d[x]
+                    if curved and gj is not None:
+                        g = 0.5 * (g + gj[x])
+                    term = g * fluxes[x][f]
+                    t = term if t is None else t + term
+                out.append(t)
+            return out
+
+        def line_slice(arr, j):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(j, j + 1)
+            return arr[tuple(sl)]
+
+        for ap in range(n1):
+            qj = tuple(line_slice(v, ap) for v in vol_d)
+            lj = tuple(line_slice(l, ap) for l in log_d)
+            fluxes = ec_flux_fields(tuple(vol_d), qj, tuple(log_d), lj, gamma)
+            gj = [line_slice(g, ap) for g in geo_d] if curved else None
+            fr = contract(fluxes, gj)
+            c = cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1)
+            for f in range(nf):
+                acc_vol[f] = acc_vol[f] + (c * fr[f]).reshape(nq, kb)
+
+        for side in range(2):
+            fid = 2 * d + side
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+            fshape = list(shape)
+            fshape[axis] = 1
+            fvals = tuple(qh[f, rows].reshape(*fshape, kb) for f in range(nf))
+            flog = tuple(qlog[l, rows].reshape(*fshape, kb) for l in range(2))
+            fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
+                                    gamma)
+            if curved:
+                gj = [geo[d * 3 + x, rows].reshape(*fshape, kb)
+                      for x in range(3)]
+            else:
+                gj = None
+            fr = contract(fluxes, gj)
+            c = cface[fid, :, 0:1].reshape(*shape, 1)
+            face_out[fid] = []
+            for f in range(nf):
+                w = c * fr[f]
+                acc_vol[f] = acc_vol[f] + w.reshape(nq, kb)
+                face_out[fid].append(
+                    -jnp.sum(w, axis=axis).reshape(nfp, kb)
+                )
+
+    for f in range(nf):
+        out_ref[f, :nq, :] = 2.0 * acc_vol[f]
+        for fid in range(6):
+            out_ref[f, nq + fid * nfp: nq + (fid + 1) * nfp, :] = (
+                2.0 * face_out[fid][f]
+            )
+
+
+def flux_differencing_lines_pallas(qh, qlog, geo, gamma, *, elem_type: str,
+                                   line_ops: LineOps, nq: int,
+                                   block_k: int = 128,
+                                   interpret: bool = False):
+    """Fused Pallas line-sparse flux differencing (hex only).
+
+    One kernel per element block: the whole 3 x (n1d + 2) partner loop
+    runs on VMEM-resident values (a device trace showed the XLA version
+    splitting into hundreds of small data-movement kernels per RHS).
+    Falls back to the XLA path for quads.
+    """
+    if elem_type != "hex":
+        return flux_differencing_lines(qh, qlog, geo, gamma,
+                                       elem_type=elem_type,
+                                       line_ops=line_ops, nq=nq)
+    import functools as _ft
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf, nh, k = qh.shape
+    curved = geo.shape[1] != 1
+    kb = min(block_k, k)
+    pad = (-k) % kb
+    if pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        qlog = jnp.pad(qlog, ((0, 0), (0, 0), (0, pad)))
+        geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
+    kp = k + pad
+    ng = geo.shape[1]
+
+    cvol_np, cface_np = _hex_line_coeffs(line_ops)
+    cvol = jnp.asarray(cvol_np, qh.dtype)
+    cface = jnp.asarray(cface_np, qh.dtype)
+    n1 = line_ops.n1d
+
+    kernel = _ft.partial(_hex_lines_kernel, n1=n1, gamma=gamma, curved=curved)
+    out = pl.pallas_call(
+        kernel,
+        grid=(kp // kb,),
+        in_specs=[
+            pl.BlockSpec((nf, nh, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nh, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((geo.shape[0], ng, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n1, nq, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nq, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nf, nh, kb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, nh, kp), qh.dtype),
+        interpret=interpret,
+    )(qh, qlog, geo, cvol, cface)
+    return out[:, :, :k]

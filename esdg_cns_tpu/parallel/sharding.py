@@ -65,17 +65,21 @@ def partition_specs(tree, k: int, axis: str):
     return jax.tree_util.tree_map(spec, tree)
 
 
-def make_sharded_euler_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
-                           **kw):
-    """ES-DG Euler RHS under shard_map with explicit ppermute halo
-    exchange (slab decomposition of the element axis).
+def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
+                     axis: str = "e", **kw):
+    """Wrap any RHS builder under shard_map with the explicit ppermute
+    halo exchange (slab decomposition of the element axis).
 
-    Returns rhs(q, t=0.0) -> (dq, aux); q must be [Nf, Np, K] (global),
-    placed or re-sharded automatically by shard_map.
+    ``builder(disc, gather_fn=..., psum_axis=..., **kw) -> rhs``.
+    Returns rhs(q, t=0.0) -> (dq, aux); q is the global [.., Np, K]
+    state, re-sharded automatically by shard_map.
+
+    Note: wall-BC problems close over global-shaped mask arrays and are
+    not supported on this path yet — use the pjit/SPMD path
+    (shard_discretization), which partitions them automatically.
     """
     from jax import shard_map
 
-    from ..solvers.euler import make_euler_rhs
     from .halo import build_halo_exchange
 
     n = mesh.shape[axis]
@@ -85,20 +89,33 @@ def make_sharded_euler_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
     halo_specs = partition_specs(halo, k, axis)
     qspec = P(None, None, axis)
 
-    def fn(q, disc_in, halo_in):
-        rhs = make_euler_rhs(
-            disc_in, gather_fn=halo_in.gather, psum_axis=axis, **kw
-        )
-        return rhs(q)
+    def fn(q, t, disc_in, halo_in):
+        rhs = builder(disc_in, gather_fn=halo_in.gather, psum_axis=axis, **kw)
+        return rhs(q, t)
 
     sm = shard_map(
         fn, mesh=mesh,
-        in_specs=(qspec, disc_specs, halo_specs),
+        in_specs=(qspec, P(), disc_specs, halo_specs),
         out_specs=(qspec, P()),
     )
 
     def rhs(q, t=0.0):
-        del t
-        return sm(q, disc, halo)
+        return sm(q, jnp.asarray(t, q.dtype), disc, halo)
 
     return rhs
+
+
+def make_sharded_euler_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
+                           **kw):
+    """Sharded ES-DG Euler RHS (see make_sharded_rhs)."""
+    from ..solvers.euler import make_euler_rhs
+
+    return make_sharded_rhs(mesh, disc, make_euler_rhs, axis, **kw)
+
+
+def make_sharded_cns_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
+                         **kw):
+    """Sharded CNS RHS, periodic problems (see make_sharded_rhs)."""
+    from ..solvers.cns import make_cns_rhs
+
+    return make_sharded_rhs(mesh, disc, make_cns_rhs, axis, **kw)

@@ -42,6 +42,8 @@ def make_viscous_rhs(
     dissipation: bool = False,
     re: Optional[float] = None,
     adiabatic_energy_penalty: bool = False,
+    gather_fn=None,
+    psum_axis: Optional[str] = None,
 ):
     """Build the BR1 viscous RHS; rhs(q, t) -> (dq, aux with
     'rhstest_visc' = the (sign-definite) viscous entropy production)."""
@@ -58,13 +60,15 @@ def make_viscous_rhs(
                 am |= np.asarray(r.mask)
         adiabatic_mask = jnp.asarray(am)
 
+    gather = disc.gather_traces if gather_fn is None else gather_fn
+
     def rhs(q, t=0.0):
         # entropy projection to modal coefficients (cavity_optimized:763-772)
         vu_q = phys.v_ufun(_apply(disc.vq, q), gamma)
         vu = _apply(disc.pq, vu_q)
 
         vuf = _apply(disc.vf, vu)
-        vup = disc.gather_traces(vuf)
+        vup = gather(vuf)
         if bc is not None:
             vup = bc.entropy_vars(disc, vuf, vup, t)
 
@@ -83,10 +87,14 @@ def make_viscous_rhs(
         rhstest_visc = sum(
             jnp.sum(disc.wjq[None] * g * s) for g, s in zip(grad_q, sigma)
         )
+        if psum_axis is not None:
+            import jax
+
+            rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
 
         sigma_m = [_apply(disc.pq, s) for s in sigma]
         s_f = [_apply(disc.vf, s) for s in sigma_m]
-        s_p = [disc.gather_traces(s) for s in s_f]
+        s_p = [gather(s) for s in s_f]
         if bc is not None:
             s_p = bc.stress(disc, s_f, s_p, vuf, t)
 
@@ -126,6 +134,8 @@ def make_cns_rhs(
     re: Optional[float] = None,
     flux_diff_impl: str = "auto",
     compute_rhstest: bool = True,
+    gather_fn=None,
+    psum_axis: Optional[str] = None,
 ):
     """Full CNS RHS = inviscid ES-DG + BR1 viscous parts.
 
@@ -139,11 +149,12 @@ def make_cns_rhs(
     inv_rhs = make_euler_rhs(
         disc, gamma=gamma, dissipation=inviscid_dissipation,
         bc_fun=bc_inviscid, flux_diff_impl=flux_diff_impl,
-        compute_rhstest=False,
+        compute_rhstest=False, gather_fn=gather_fn, psum_axis=psum_axis,
     )
     visc_rhs = make_viscous_rhs(
         disc, mu=mu, lam=lam, pr=pr, gamma=gamma, bc=bc,
         dissipation=viscous_dissipation, re=re,
+        gather_fn=gather_fn, psum_axis=psum_axis,
     )
 
     def rhs(q, t=0.0):
@@ -155,13 +166,16 @@ def make_cns_rhs(
             # total entropy balance (rhsRK!, cavity_optimized:960-971)
             vu = phys.v_ufun(_apply(disc.vq, q), gamma)
             vuq = _apply(disc.vq, _apply(disc.pq, vu))
-            aux["rhstest"] = jnp.sum(
-                disc.wjq[None] * vuq * _apply(disc.vq, dq)
-            )
-            aux["rhstest_visc_total"] = (
-                jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq_v))
-                + aux_v["rhstest_visc"]
-            )
+            rt = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq))
+            rtv = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq_v))
+            if psum_axis is not None:
+                import jax
+
+                rt = jax.lax.psum(rt, psum_axis)
+                rtv = jax.lax.psum(rtv, psum_axis)
+            aux["rhstest"] = rt
+            # aux_v['rhstest_visc'] is already globally reduced
+            aux["rhstest_visc_total"] = rtv + aux_v["rhstest_visc"]
         return dq, aux
 
     return rhs

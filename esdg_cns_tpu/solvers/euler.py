@@ -95,15 +95,21 @@ def make_euler_rhs(
         from ..ops.pallas_fd import flux_differencing_pallas
 
         fd = functools.partial(flux_differencing_pallas, nq=nq)
-    elif flux_diff_impl == "lines":
-        from ..ops.tensor_product_fd import flux_differencing_lines
+    elif flux_diff_impl in ("lines", "lines_pallas"):
+        from ..ops.tensor_product_fd import (
+            flux_differencing_lines,
+            flux_differencing_lines_pallas,
+        )
 
         if disc.line_ops is None:
             raise ValueError("'lines' requires a collocated quad/hex mesh")
+        impl = (flux_differencing_lines_pallas
+                if flux_diff_impl == "lines_pallas"
+                else flux_differencing_lines)
 
         def fd(qh, qlog, q_skew, geo, gamma):
             del q_skew  # the Kronecker structure replaces the dense ops
-            return flux_differencing_lines(
+            return impl(
                 qh, qlog, geo, gamma,
                 elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
             )
@@ -120,26 +126,30 @@ def make_euler_rhs(
         )
         qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
 
-        # --- face traces + neighbor exchange ---
+        # --- face traces + one batched neighbor exchange ---
         qm = qh[:, nq:, :]
         uf = uh[:, nq:, :]
-        qp = gather(qm)
-        up = gather(uf)
+        qm_log = qlog[:, nq:, :]
+        nfields = qm.shape[0]
+        parts = [qm, uf, qm_log]
+        if dissipation:
+            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
+            lam = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
+            parts.append(lam[None])
+        nbr = gather(jnp.concatenate(parts, axis=0))
+        qp = nbr[:nfields]
+        up = nbr[nfields:2 * nfields]
+        qp_log = nbr[2 * nfields:2 * nfields + 2]
 
         if bc_fun is not None:
             qp, up = bc_fun(disc, qm, qp, uf, up, t)
             # ghost states may change rho/beta; recompute logs
-            fs = phys.ec_flux(qm, qp, qlog[:, nq:, :], None, gamma=gamma)
+            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
         else:
-            # periodic: neighbor logs are a gather of the precomputed logs
-            qm_log = qlog[:, nq:, :]
-            fs = phys.ec_flux(qm, qp, qm_log, gather(qm_log), gamma=gamma)
+            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
         flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
         if dissipation:
-            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
-            rhoun = rhoun * disc.inv_sj
-            lam = phys.wavespeed(uf[0], rhoun, uf[-1], gamma)
-            lam_p = gather(lam[None])[0]
+            lam_p = nbr[2 * nfields + 2]
             lfc = 0.25 * jnp.maximum(lam, lam_p) * disc.sj
             flux = flux - lfc[None] * (up - uf)
         rhs_surf = _apply(disc.lift, flux)

@@ -118,3 +118,28 @@ def test_halo_rejects_non_neighbor_partition():
     )
     with pytest.raises(ValueError):
         build_halo_exchange(disc, 8)  # slabs of 1 element: y/z neighbors far
+
+
+def test_shard_map_cns_periodic_equivalence():
+    """Sharded CNS RHS (3 halo exchanges) matches single-device on a
+    periodic viscous problem."""
+    from esdg_cns_tpu.parallel import make_sharded_cns_rhs
+    from esdg_cns_tpu.solvers import make_cns_rhs
+
+    disc, q = _tri_setup(k1d=8, n=2)
+    kw = dict(mu=1e-2, pr=0.72, inviscid_dissipation=True,
+              viscous_dissipation=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs(disc, **kw))(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_cns_rhs(mesh, disc, **kw))(q)
+    np.testing.assert_allclose(
+        np.asarray(dq_sm), np.asarray(dq_ref), rtol=1e-11, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["rhstest_visc"]), float(aux_ref["rhstest_visc"]),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["rhstest"]), float(aux_ref["rhstest"]), atol=1e-9
+    )
