@@ -43,15 +43,20 @@ def main():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 16))
     steps = int(os.environ.get("BENCH_STEPS", 20))
-    impl = os.environ.get("BENCH_FD_IMPL", "lines_pallas")
+    impl = os.environ.get("BENCH_FD_IMPL", "fused")
     if jax.devices()[0].platform == "cpu":
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         k1d = int(os.environ.get("BENCH_K1D", 4))
 
     disc, q0 = euler_hex_3d(n=n, k1d=k1d, dtype=jnp.float32)
-    rhs = make_euler_rhs(
-        disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False
-    )
+    if impl == "fused":
+        from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+        rhs = make_euler_rhs_fused(disc, dissipation=True)
+    else:
+        rhs = make_euler_rhs(
+            disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False
+        )
     dt = jnp.float32(1e-6)  # timing run; stability not at issue
 
     @jax.jit

@@ -1,0 +1,250 @@
+"""Fully fused ES-DG volume kernel for collocated hex elements.
+
+One Pallas kernel per element block computes, entirely in VMEM:
+
+  1. entropy variables V = v(U) at the (collocated) volume nodes,
+  2. face extrapolation Vf = Ef V (MXU) and the inverse map U(Vf),
+  3. flux variables (rho, u, beta) + logs at all hybridized points,
+  4. the line-sparse flux differencing (pallas line kernel logic),
+  5. the projection Ph QF, split into its collocated structure
+     QF_vol / wq + LIFT @ QF_face (1/wq folded into the host-built
+     coefficient tensors, LIFT applied on the MXU),
+
+and emits the partial volume RHS plus the face traces
+(qm, uf, log rho, log beta) needed by the surface/neighbor stage.
+This removes the HBM round-trips between the projection, flux
+differencing and Ph stages of the unfused path (SURVEY.md 2.5 items
+1-3 in a single kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.euler import ec_flux_fields
+from .tensor_product_fd import LineOps, _hex_line_coeffs
+
+
+def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
+                   ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma, curved):
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = q_ref.shape[0]
+    kb = q_ref.shape[2]
+    gm1 = gamma - 1.0
+
+    q = q_ref[...]                    # [5, Nq, KB] conservative
+    geo = geo_ref[...]
+    cvol = cvol_ref[...]
+    cface = cface_ref[...]
+    iw = iw_ref[...]                  # [Nq, 128] replicated 1/wq
+    iwf = iwf_ref[...]                # [nfp, 128] replicated 1/wface
+    ef = ef_ref[...]                  # [Nfq, Nq]
+    lift = lift_ref[...]              # [Nq, Nfq]
+
+    # ---- entropy variables at volume nodes ----
+    rho, m1, m2, m3, e = (q[i] for i in range(5))
+    rhou2 = m1 * m1 + m2 * m2 + m3 * m3
+    p = gm1 * (e - 0.5 * rhou2 / rho)
+    s = jnp.log(p) - gamma * jnp.log(rho)
+    v1 = (gamma + 1.0 - s) - gm1 * e / p
+    vm = [gm1 * m / p for m in (m1, m2, m3)]
+    ve = -gm1 * rho / p
+
+    # ---- face extrapolation + inverse map ----
+    def face(x):
+        return jnp.dot(ef, x, preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    fv1, fve = face(v1), face(ve)
+    fvm = [face(v) for v in vm]
+    vnorm = fvm[0] * fvm[0] + fvm[1] * fvm[1] + fvm[2] * fvm[2]
+    sf = gamma - fv1 + vnorm / (2.0 * fve)
+    rhoe = (gm1 / (-fve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
+    frho = rhoe * (-fve)
+    fmom = [rhoe * v for v in fvm]
+    fe = rhoe * (1.0 - vnorm / (2.0 * fve))
+
+    # ---- flux variables + logs at volume and face points ----
+    beta_v = rho / (2.0 * p)
+    uvel = [m / rho for m in (m1, m2, m3)]
+    fp = gm1 * (fe - 0.5 * (fmom[0] * fmom[0] + fmom[1] * fmom[1]
+                            + fmom[2] * fmom[2]) / frho)
+    beta_f = frho / (2.0 * fp)
+    fuvel = [m / frho for m in fmom]
+
+    def hyb(vol_x, face_x):
+        return jnp.concatenate([vol_x, face_x], axis=0)
+
+    qh = [hyb(rho, frho)] + [hyb(uvel[d], fuvel[d]) for d in range(3)] \
+        + [hyb(beta_v, beta_f)]
+    qlog = [jnp.log(qh[0]), jnp.log(qh[4])]
+
+    # ---- traces for the surface stage ----
+    for i in range(5):
+        traces_ref[i] = qh[i][nq:, :]
+    traces_ref[5] = frho
+    traces_ref[6] = fmom[0]
+    traces_ref[7] = fmom[1]
+    traces_ref[8] = fmom[2]
+    traces_ref[9] = fe
+    traces_ref[10] = qlog[0][nq:, :]
+    traces_ref[11] = qlog[1][nq:, :]
+
+    # ---- line-sparse flux differencing ----
+    shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
+    axes = {0: 1, 1: 1, 2: 0}
+    acc_vol = [jnp.zeros((nq, kb), q.dtype) for _ in range(nf)]
+    face_rows = [[None] * nf for _ in range(6)]
+
+    vol = [x[:nq] for x in qh]
+    vlog = [l[:nq] for l in qlog]
+    for d in range(3):
+        shape, axis = shapes[d], axes[d]
+        vshape = (*shape, kb)
+        vol_d = [v.reshape(vshape) for v in vol]
+        log_d = [l.reshape(vshape) for l in vlog]
+        if curved:
+            geo_d = [geo[d * 3 + x, :nq].reshape(vshape) for x in range(3)]
+        else:
+            geo_d = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
+                     for x in range(3)]
+
+        def contract(fluxes, gj=None):
+            out = []
+            for f in range(nf):
+                t = None
+                for x in range(3):
+                    g = geo_d[x]
+                    if curved and gj is not None:
+                        g = 0.5 * (g + gj[x])
+                    term = g * fluxes[x][f]
+                    t = term if t is None else t + term
+                out.append(t)
+            return out
+
+        def line_slice(arr, j):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(j, j + 1)
+            return arr[tuple(sl)]
+
+        for ap in range(n1):
+            qj = tuple(line_slice(v, ap) for v in vol_d)
+            lj = tuple(line_slice(l, ap) for l in log_d)
+            fluxes = ec_flux_fields(tuple(vol_d), qj, tuple(log_d), lj, gamma)
+            gj = [line_slice(g, ap) for g in geo_d] if curved else None
+            fr = contract(fluxes, gj)
+            c = cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1)
+            for f in range(nf):
+                acc_vol[f] = acc_vol[f] + (c * fr[f]).reshape(nq, kb)
+
+        for side in range(2):
+            fid = 2 * d + side
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+            fshape = list(shape)
+            fshape[axis] = 1
+            fvals = tuple(qh[f][rows].reshape(*fshape, kb) for f in range(nf))
+            flog = tuple(qlog[l][rows].reshape(*fshape, kb) for l in range(2))
+            fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
+                                    gamma)
+            gj = ([geo[d * 3 + x, rows].reshape(*fshape, kb) for x in range(3)]
+                  if curved else None)
+            fr = contract(fluxes, gj)
+            c = cface[fid, :, 0:1].reshape(*shape, 1)
+            for f in range(nf):
+                w = c * fr[f]
+                acc_vol[f] = acc_vol[f] + w.reshape(nq, kb)
+                face_rows[fid][f] = -jnp.sum(w, axis=axis).reshape(nfp, kb)
+
+    # ---- Ph QF = QF_vol / wq + LIFT @ (QF_face / wf) ----
+    # (Ph's face block is diag(1/wq) Vf' = LIFT diag(1/wf))
+    iw_col = iw[:, 0:1]
+    iwf_col = iwf[:, 0:1]
+    for f in range(nf):
+        qf_face = jnp.concatenate(
+            [iwf_col * face_rows[fid][f] for fid in range(6)], axis=0
+        )                                                      # [Nfq, KB]
+        out_ref[f] = 2.0 * iw_col * acc_vol[f] + 2.0 * jnp.dot(
+            lift, qf_face, preferred_element_type=q.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret"),
+)
+def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
+                        line_ops: LineOps, block_k: int = 128,
+                        interpret: bool = False):
+    """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [12, Nfq, K])
+    with traces = (rho,u1,u2,u3,beta | rho,m1,m2,m3,E | log rho, log beta)
+    at the face points."""
+    nf, nq_, k = q.shape
+    n1 = line_ops.n1d
+    nfq = 6 * n1 * n1
+    curved = geo.shape[1] != 1
+
+    kb = min(block_k, k)
+    pad = (-k) % kb
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
+    kp = k + pad
+    ng = geo.shape[1]
+
+    cvol_np, cface_np = _hex_line_coeffs(line_ops)
+    cvol = jnp.asarray(cvol_np, q.dtype)
+    cface = jnp.asarray(cface_np, q.dtype)
+    # 1/wq from the 1D weights (wq = w x w x w), applied to the volume
+    # rows only (the face rows feed the LIFT matmul unscaled)
+    w1 = np.asarray(line_ops.w1)
+    idx = np.arange(nq)
+    wq_np = w1[idx % n1] * w1[(idx // n1) % n1] * w1[idx // (n1 * n1)]
+    iw = jnp.asarray(np.repeat((1.0 / wq_np)[:, None], 128, axis=1), q.dtype)
+    fidx = np.arange(n1 * n1)
+    wf_np = w1[fidx % n1] * w1[fidx // n1]
+    iwf = jnp.asarray(np.repeat((1.0 / wf_np)[:, None], 128, axis=1), q.dtype)
+
+    kernel = functools.partial(_volume_kernel, n1=n1, gamma=gamma,
+                               curved=curved)
+    out, traces = pl.pallas_call(
+        kernel,
+        grid=(kp // kb,),
+        in_specs=[
+            pl.BlockSpec((nf, nq, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((geo.shape[0], ng, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n1, nq, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nq, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1 * n1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfq, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, nfq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nf, nq, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, nfq, kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nf, nq, kp), q.dtype),
+            jax.ShapeDtypeStruct((12, nfq, kp), q.dtype),
+        ),
+        interpret=interpret,
+    )(q, geo, cvol, cface, iw, iwf, ef, lift)
+    return out[:, :, :k], traces[:, :, :k]

@@ -11,13 +11,18 @@ layout; interface values are trace arrays [..., Nfq, K].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.discretization import Discretization
 
 
 def _apply(mat, x):
-    return jnp.einsum("ij,...jk->...ik", mat, x)
+    # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass (~3 digits),
+    # which visibly pollutes the entropy balance; the operators are small
+    # so the 6-pass accurate form is cheap
+    return jnp.einsum("ij,...jk->...ik", mat, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def physical_derivatives(disc: Discretization, u):

@@ -35,8 +35,14 @@ Array = jnp.ndarray
 
 
 def _apply(mat: Array, x: Array) -> Array:
-    """Apply [M, N] operator to [..., N, K] stacked fields on the MXU."""
-    return jnp.einsum("ij,...jk->...ik", mat, x)
+    """Apply [M, N] operator to [..., N, K] stacked fields on the MXU.
+
+    HIGHEST precision: the default TPU f32 matmul is a single bf16 pass
+    whose ~1e-3 relative error destroys the discrete SBP identities the
+    entropy balance relies on; the operators are small so this is cheap.
+    """
+    return jnp.einsum("ij,...jk->...ik", mat, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def entropy_projection(disc: Discretization, q: Array, gamma: float):

@@ -42,3 +42,65 @@ def test_pallas_matches_xla_hex(curved):
         qh, qlog, disc.q_skew, disc.geo, 1.4, nq=disc.nq, block_k=4, interpret=True
     )
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-11, atol=1e-11)
+
+
+def test_fused_volume_kernel_matches_reference():
+    """Fused Pallas volume stage (interpret mode) == projection + line
+    flux differencing + Ph, on affine and curved hexes."""
+    import jax
+
+    from esdg_cns_tpu.ops.pallas_volume import euler_volume_pallas
+    from esdg_cns_tpu.ops.tensor_product_fd import flux_differencing_lines
+    from esdg_cns_tpu.physics import betafun as _betafun
+    from esdg_cns_tpu.presets import euler_hex_3d
+
+    for curved in (False, True):
+        disc, q0 = euler_hex_3d(n=2, k1d=2, curved=curved,
+                                dtype=jnp.float32)
+        nq = disc.nq
+        ph_qf, traces = euler_volume_pallas(
+            q0, disc.geo, disc.vhp[nq:], disc.lift, 1.4,
+            nq=nq, line_ops=disc.line_ops, block_k=8, interpret=True,
+        )
+        from esdg_cns_tpu.solvers.euler import _apply, entropy_projection
+
+        vu, uh = entropy_projection(disc, q0, 1.4)
+        qh = jnp.concatenate(
+            [uh[0][None], uh[1:-1] / uh[0], _betafun(uh)[None]], axis=0
+        )
+        qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
+        qf = flux_differencing_lines(qh, qlog, disc.geo, 1.4,
+                                     elem_type="hex",
+                                     line_ops=disc.line_ops, nq=nq)
+        ref = _apply(disc.ph, qf)
+        np.testing.assert_allclose(np.asarray(ph_qf), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(traces[:5]),
+                                   np.asarray(qh[:, nq:, :]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rhs_matches_lines_cpu():
+    import esdg_cns_tpu.ops.pallas_volume as pv
+    import esdg_cns_tpu.solvers.euler_fused as ef_mod
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+
+    orig = pv.euler_volume_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ef_mod.euler_volume_pallas = interp
+    try:
+        disc, q0 = euler_hex_3d(n=2, k1d=2, dtype=jnp.float32)
+        a, _ = make_euler_rhs(disc, dissipation=True,
+                              flux_diff_impl="lines",
+                              compute_rhstest=False)(q0)
+        b, _ = ef_mod.make_euler_rhs_fused(disc, dissipation=True,
+                                           block_k=8)(q0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
+    finally:
+        ef_mod.euler_volume_pallas = orig
