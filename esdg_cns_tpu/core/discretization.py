@@ -89,19 +89,49 @@ class Discretization:
         axes — cheap static data movement on TPU.
         """
         if self.grid_shape is not None and self.elem_type == "hex":
+            # flat-K rolls along the lane axis (never splitting it into
+            # sub-axes, which forces expensive relayouts): a +-1 shift
+            # along grid axis d is a flat roll by its stride, with the
+            # periodic wrap fixed by blending in a second roll on the
+            # wrap columns.
+            import numpy as np
+
+            kz, ky, kx = self.grid_shape
+            k = self.num_elements
+            idx = np.arange(k)
+            xs, ys = idx % kx, (idx // kx) % ky
+            zs = idx // (kx * ky)
+            strides = (1, kx, kx * ky)
+            periods = (kx, ky, kz)
+            lowmask = (xs == 0, ys == 0, zs == 0)
+            highmask = (xs == kx - 1, ys == ky - 1, zs == kz - 1)
+
             lead = uf.shape[:-2]
             nfp = self.nfq // 6
-            v = uf.reshape(*lead, 6, nfp, *self.grid_shape)  # (.., f, p, z, y, x)
-            az = uf.ndim - 2 + 1  # z axis position after reshape
-            rolls = [
-                jnp.roll(v[..., 1, :, :, :, :], 1, axis=az + 2),   # face r-
-                jnp.roll(v[..., 0, :, :, :, :], -1, axis=az + 2),  # face r+
-                jnp.roll(v[..., 3, :, :, :, :], 1, axis=az + 1),   # face s-
-                jnp.roll(v[..., 2, :, :, :, :], -1, axis=az + 1),  # face s+
-                jnp.roll(v[..., 5, :, :, :, :], 1, axis=az),       # face t-
-                jnp.roll(v[..., 4, :, :, :, :], -1, axis=az),      # face t+
-            ]
-            out = jnp.stack(rolls, axis=len(lead))
+            v = uf.reshape(*lead, 6, nfp, k)
+            fidx = len(lead)
+
+            def take_face(i):
+                sl = (slice(None),) * fidx + (i,)
+                return v[sl]                    # [.., nfp, K]
+
+            outs = []
+            for d in range(3):
+                s = strides[d]
+                p = periods[d] * s
+                lo = jnp.asarray(lowmask[d])
+                hi = jnp.asarray(highmask[d])
+                src_minus = take_face(2 * d + 1)   # opposite (+) face
+                src_plus = take_face(2 * d)        # opposite (-) face
+                outs.append(jnp.where(
+                    lo, jnp.roll(src_minus, s - p, axis=-1),
+                    jnp.roll(src_minus, s, axis=-1),
+                ))
+                outs.append(jnp.where(
+                    hi, jnp.roll(src_plus, p - s, axis=-1),
+                    jnp.roll(src_plus, -s, axis=-1),
+                ))
+            out = jnp.stack(outs, axis=fidx)
             return out.reshape(uf.shape)
         flat = uf.reshape(*uf.shape[:-2], self.nfq * self.num_elements)
         return jnp.take(flat, self.map_p.reshape(-1), axis=-1).reshape(uf.shape)

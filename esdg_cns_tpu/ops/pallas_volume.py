@@ -248,3 +248,93 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
         interpret=interpret,
     )(q, geo, cvol, cface, iw, iwf, ef, lift)
     return out[:, :, :k], traces[:, :, :k]
+
+
+def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
+                    lift_ref, phqf_ref, out_ref, *, gamma, dissipation):
+    """Fused surface stage: EC interface flux + LF dissipation + LIFT +
+    combination with the volume part and the 1/J scaling.
+
+    The LF wavespeeds of BOTH sides are computed locally from the
+    exchanged conservative traces (pointwise), so lambda itself never
+    crosses the interconnect.
+    """
+    gm1 = gamma - 1.0
+    tr = tr_ref[...]
+    nbr = nbr_ref[...]
+    nxj = nxj_ref[...]
+    sj = sj_ref[...]
+    isj = isj_ref[...]
+    inv_jac = ij_ref[...]
+    lift = lift_ref[...]
+    phqf = phqf_ref[...]
+
+    qm = tuple(tr[i] for i in range(5))
+    qp = tuple(nbr[i] for i in range(5))
+    logs_m = (tr[10], tr[11])
+    logs_p = (nbr[10], nbr[11])
+    fluxes = ec_flux_fields(qm, qp, logs_m, logs_p, gamma)
+    flux = [sum(fluxes[x][f] * nxj[x] for x in range(3)) for f in range(5)]
+
+    if dissipation:
+        def lam(u):
+            rho, m1, m2, m3, e = (u[5 + i] for i in range(5))
+            un = (m1 * nxj[0] + m2 * nxj[1] + m3 * nxj[2]) * isj
+            p = gm1 * (e - 0.5 * un * un / rho)
+            return jnp.sqrt((un / rho) ** 2) + jnp.sqrt(gamma * p / rho)
+
+        lfc = 0.25 * jnp.maximum(lam(tr), lam(nbr)) * sj
+        for f in range(5):
+            flux[f] = flux[f] - lfc * (nbr[5 + f] - tr[5 + f])
+
+    for f in range(5):
+        out_ref[f] = -(phqf[f] + jnp.dot(
+            lift, flux[f], preferred_element_type=tr.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )) * inv_jac
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "dissipation", "block_k", "interpret")
+)
+def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
+                         gamma, *, dissipation=True, block_k: int = 128,
+                         interpret: bool = False):
+    """Fused surface stage; returns the complete RHS dq [5, Nq, K]."""
+    nfq, k = sj.shape
+    nq = ph_qf.shape[1]
+    kb = min(block_k, k)
+    pad = (-k) % kb
+    if pad:
+        padk = lambda a: jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, pad),),
+                                 constant_values=1.0)
+        traces, nbr, nxj, sj, inv_sj, inv_jac, ph_qf = map(
+            padk, (traces, nbr, nxj, sj, inv_sj, inv_jac, ph_qf)
+        )
+    kp = k + pad
+
+    kernel = functools.partial(_surface_kernel, gamma=gamma,
+                               dissipation=dissipation)
+    spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * (len(shape) - 1) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(kp // kb,),
+        in_specs=[
+            spec(12, nfq, kb),
+            spec(12, nfq, kb),
+            spec(3, nfq, kb),
+            spec(nfq, kb),
+            spec(nfq, kb),
+            spec(nq, kb),
+            pl.BlockSpec((nq, nfq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec(5, nq, kb),
+        ],
+        out_specs=spec(5, nq, kb),
+        out_shape=jax.ShapeDtypeStruct((5, nq, kp), traces.dtype),
+        interpret=interpret,
+    )(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf)
+    return out[:, :, :k]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.discretization import Discretization
-from ..ops.pallas_volume import euler_volume_pallas
+from ..ops.pallas_volume import euler_surface_pallas, euler_volume_pallas
 from ..physics import euler as phys
 from .dg_ops import _apply
 
@@ -39,33 +39,20 @@ def make_euler_rhs_fused(
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
+    nxj = jnp.stack(disc.nxj)
+
     def rhs(q, t: float = 0.0):
         del t
         ph_qf, traces = euler_volume_pallas(
             q, disc.geo, ef, disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, block_k=block_k,
         )
-        qm = traces[:5]
-        uf = traces[5:10]
-        qm_log = traces[10:12]
-
-        parts = [traces]
-        if dissipation:
-            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(3))
-            lam = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
-            parts = [jnp.concatenate([traces, lam[None]], axis=0)]
-        nbr = gather(parts[0])
-        qp = nbr[:5]
-        up = nbr[5:10]
-        qp_log = nbr[10:12]
-
-        fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
-        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
-        if dissipation:
-            lfc = 0.25 * jnp.maximum(lam, nbr[12]) * disc.sj
-            flux = flux - lfc[None] * (up - uf)
-
-        rhs_q = -(ph_qf + _apply(disc.lift, flux)) * disc.inv_jac[None]
+        nbr = gather(traces)
+        rhs_q = euler_surface_pallas(
+            traces, nbr, nxj, disc.sj, disc.inv_sj, disc.inv_jac,
+            disc.lift, ph_qf, gamma,
+            dissipation=dissipation, block_k=block_k,
+        )
 
         aux = {}
         if compute_rhstest:

@@ -87,12 +87,18 @@ def test_fused_rhs_matches_lines_cpu():
     from esdg_cns_tpu.solvers import make_euler_rhs
 
     orig = pv.euler_volume_pallas
+    orig_s = pv.euler_surface_pallas
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return orig(*a, **kw)
 
+    def interp_s(*a, **kw):
+        kw["interpret"] = True
+        return orig_s(*a, **kw)
+
     ef_mod.euler_volume_pallas = interp
+    ef_mod.euler_surface_pallas = interp_s
     try:
         disc, q0 = euler_hex_3d(n=2, k1d=2, dtype=jnp.float32)
         a, _ = make_euler_rhs(disc, dissipation=True,
@@ -104,3 +110,4 @@ def test_fused_rhs_matches_lines_cpu():
                                    rtol=1e-3, atol=1e-3)
     finally:
         ef_mod.euler_volume_pallas = orig
+        ef_mod.euler_surface_pallas = orig_s
