@@ -41,7 +41,7 @@ NORTH_STAR = 1.0e9  # DOF * RK-stage / s
 
 def main():
     n = int(os.environ.get("BENCH_N", 3))
-    k1d = int(os.environ.get("BENCH_K1D", 16))
+    k1d = int(os.environ.get("BENCH_K1D", 32))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     impl = os.environ.get("BENCH_FD_IMPL", "fused")
     if jax.devices()[0].platform == "cpu":
