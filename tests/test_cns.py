@@ -89,3 +89,29 @@ def test_dopri45_adaptive():
     assert np.isfinite(np.asarray(qf)).all()
     # dt should have grown from the conservative initial guess
     assert float(stats["dt"]) > 1e-5
+
+
+def test_becker_shocktube_2d_accuracy():
+    """2D extension of the Becker wave (periodic in y, Dirichlet in x)
+    stays close to the exact 1D profile (dg2D_CNS_modalESDG parity)."""
+    from esdg_cns_tpu.physics import BeckerShock
+    from esdg_cns_tpu.presets import becker_shocktube_2d
+
+    # mu=0.1 gives a shock thickness resolvable at this mesh size
+    disc, q0, bc, shock = becker_shocktube_2d(n=2, k1d=12,
+                                              shock=BeckerShock())
+    rhs = make_cns_rhs(disc, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True, compute_rhstest=False)
+    t_end = 0.01
+    cn = 6.0
+    dt = 2.0 / (cn * 12 * 12)
+    ns = int(np.ceil(t_end / dt))
+    qf, _ = jax.jit(lambda q: ssprk33(rhs, q, t_end / ns, ns))(q0)
+    uq = np.asarray(jnp.einsum("ij,fjk->fik", disc.vq, qf))
+    u1d = shock.conservative(np.asarray(disc.xq[0]).ravel(), t_end)
+    w = np.asarray(disc.wjq)
+    err = np.sqrt(np.sum(w * (uq[0] - u1d[0].reshape(uq[0].shape)) ** 2))
+    norm = np.sqrt(np.sum(w * u1d[0].reshape(uq[0].shape) ** 2))
+    assert err / norm < 0.05
+    # transverse momentum stays ~0 (y-invariance of the wave)
+    assert np.abs(uq[2]).max() < 1e-2

@@ -111,3 +111,30 @@ def test_fused_rhs_matches_lines_cpu():
     finally:
         ef_mod.euler_volume_pallas = orig
         ef_mod.euler_surface_pallas = orig_s
+
+
+def test_fused_rhs_free_stream_cpu():
+    """Fused path preserves a constant state on a curved hex mesh."""
+    import esdg_cns_tpu.ops.pallas_volume as pv
+    import esdg_cns_tpu.solvers.euler_fused as ef_mod
+    from esdg_cns_tpu.physics import primitive_to_conservative
+    from esdg_cns_tpu.presets import euler_hex_3d
+
+    orig_v, orig_s = pv.euler_volume_pallas, pv.euler_surface_pallas
+    ef_mod.euler_volume_pallas = lambda *a, **k: orig_v(*a, **{**k, "interpret": True})
+    ef_mod.euler_surface_pallas = lambda *a, **k: orig_s(*a, **{**k, "interpret": True})
+    try:
+        disc, _ = euler_hex_3d(n=2, k1d=2, curved=True, dtype=jnp.float32)
+        sh = (disc.np_, disc.num_elements)
+        q = primitive_to_conservative(
+            jnp.full(sh, 1.3), jnp.stack([jnp.full(sh, 0.2),
+                                          jnp.full(sh, -0.1),
+                                          jnp.full(sh, 0.4)]),
+            jnp.full(sh, 0.9),
+        ).astype(jnp.float32)
+        dq, _ = ef_mod.make_euler_rhs_fused(disc, dissipation=True,
+                                            block_k=8)(q)
+        assert float(jnp.abs(dq).max()) < 5e-4  # f32, amplified by 1/J
+    finally:
+        ef_mod.euler_volume_pallas = orig_v
+        ef_mod.euler_surface_pallas = orig_s
