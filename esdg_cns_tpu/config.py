@@ -14,7 +14,6 @@ import dataclasses
 from typing import Callable, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .core import build_discretization, make_ref_elem

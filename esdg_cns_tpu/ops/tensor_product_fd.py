@@ -23,7 +23,6 @@ All line constants are host-side numpy (compile-time constants).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,9 +17,6 @@ Host-side setup splits the global gather table into
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,9 +61,7 @@ def build_halo_exchange(disc: Discretization, n_devices: int,
     kloc = k // n_devices
 
     map_p = np.asarray(disc.map_p)            # [Nfq, K], values node*K+elem
-    node_g, elem_g = np.divmod(map_p, 1)      # placeholder
-    node_g = map_p // k
-    elem_g = map_p % k
+    node_g, elem_g = np.divmod(map_p, k)
 
     owner = elem_g // kloc                    # device owning the source
     my_dev = np.arange(k)[None, :] // kloc    # device owning the target

@@ -67,17 +67,11 @@ def becker_shocktube_1d(n: int = 4, k: int = 128, xl: float = -2.0,
 
         return v_ufun(shock.conservative_jax(xf, t), shock.gamma)
 
-    region = Region(
-        mask=disc.bmask, kind="dirichlet", state=None,
-    )
-    bc = WallBC(disc, [region])
-    # attach the two stage-specific Dirichlet callables
-    bc.regions[0] = Region(mask=disc.bmask, kind="dirichlet",
-                           state=dirichlet_flux_vars)
-    bc._entropy_state = dirichlet_entropy_vars
+    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
+                              state=dirichlet_flux_vars)])
 
-    # override the entropy-variable hook to use the entropy-space state
-    def entropy_vars(d, vuf, vup, t=0.0, _bc=bc):
+    # the BR1 gradient stage needs the far-field state in entropy space
+    def entropy_vars(d, vuf, vup, t=0.0):
         return jnp.where(disc.bmask[None], dirichlet_entropy_vars(t), vup)
 
     bc.entropy_vars = entropy_vars

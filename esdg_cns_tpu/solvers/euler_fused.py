@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from ..core.discretization import Discretization
 from ..ops.pallas_volume import euler_surface_pallas, euler_volume_pallas
 from ..physics import euler as phys
-from .dg_ops import _apply
 
 
 def make_euler_rhs_fused(

@@ -10,7 +10,7 @@ user's environment (matplotlib optional).
 from __future__ import annotations
 
 import os
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

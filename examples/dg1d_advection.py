@@ -6,7 +6,6 @@ Prints the max transport error of a sine wave after one period.
 
 from common import env_float, env_int
 
-import jax
 import jax.numpy as jnp
 
 from esdg_cns_tpu.config import SimConfig, build_problem, run_simulation
