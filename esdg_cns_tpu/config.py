@@ -110,6 +110,14 @@ def build_problem(cfg: SimConfig, bc=None):
     elif cfg.equation == "euler":
         from .solvers import make_euler_rhs
 
+        if cfg.flux_diff_impl == "fused":
+            from .solvers.euler_fused import make_euler_rhs_fused
+
+            if bc is not None:
+                raise ValueError("fused path supports periodic meshes only")
+            return disc, make_euler_rhs_fused(
+                disc, gamma=cfg.gamma, dissipation=cfg.inviscid_dissipation,
+            )
         rhs = make_euler_rhs(
             disc, gamma=cfg.gamma, dissipation=cfg.inviscid_dissipation,
             flux_diff_impl=cfg.flux_diff_impl,
