@@ -281,7 +281,7 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
             rho, m1, m2, m3, e = (u[5 + i] for i in range(5))
             un = (m1 * nxj[0] + m2 * nxj[1] + m3 * nxj[2]) * isj
             p = gm1 * (e - 0.5 * un * un / rho)
-            return jnp.sqrt((un / rho) ** 2) + jnp.sqrt(gamma * p / rho)
+            return jnp.abs(un / rho) + jnp.sqrt(gamma * p / rho)
 
         lfc = 0.25 * jnp.maximum(lam(tr), lam(nbr)) * sj
         for f in range(5):

@@ -131,9 +131,9 @@ def conservative_to_primitive_beta(u, gamma=GAMMA):
 
 def wavespeed(rho, rhou_n, e, gamma=GAMMA):
     """|u_n| + c for Lax-Friedrichs penalties (euler_fluxes_1D.jl:7-12)."""
-    unorm2 = (rhou_n / rho) ** 2
-    p = (gamma - 1.0) * (e - 0.5 * rho * unorm2)
-    return jnp.sqrt(unorm2) + jnp.sqrt(gamma * p / rho)
+    un = rhou_n / rho
+    p = (gamma - 1.0) * (e - 0.5 * rho * un * un)
+    return jnp.abs(un) + jnp.sqrt(gamma * p / rho)
 
 
 def euler_flux(u, gamma=GAMMA):
