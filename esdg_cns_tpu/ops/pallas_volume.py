@@ -86,16 +86,14 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
         + [hyb(beta_v, beta_f)]
     qlog = [jnp.log(qh[0]), jnp.log(qh[4])]
 
-    # ---- traces for the surface stage ----
+    # ---- traces for the surface stage: (rho, u, beta) + logs only;
+    # the conservative face values the LF term needs are re-derived
+    # pointwise on both sides in the surface kernel, so they are never
+    # written to HBM or exchanged ----
     for i in range(5):
         traces_ref[i] = qh[i][nq:, :]
-    traces_ref[5] = frho
-    traces_ref[6] = fmom[0]
-    traces_ref[7] = fmom[1]
-    traces_ref[8] = fmom[2]
-    traces_ref[9] = fe
-    traces_ref[10] = qlog[0][nq:, :]
-    traces_ref[11] = qlog[1][nq:, :]
+    traces_ref[5] = qlog[0][nq:, :]
+    traces_ref[6] = qlog[1][nq:, :]
 
     # ---- line-sparse flux differencing ----
     shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
@@ -183,9 +181,9 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
 def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
                         line_ops: LineOps, block_k: int = 128,
                         interpret: bool = False):
-    """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [12, Nfq, K])
-    with traces = (rho,u1,u2,u3,beta | rho,m1,m2,m3,E | log rho, log beta)
-    at the face points."""
+    """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [7, Nfq, K])
+    with traces = (rho, u1, u2, u3, beta, log rho, log beta) at the face
+    points."""
     nf, nq_, k = q.shape
     n1 = line_ops.n1d
     nfq = 6 * n1 * n1
@@ -238,12 +236,12 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
         out_specs=(
             pl.BlockSpec((nf, nq, kb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, nfq, kb), lambda i: (0, 0, i),
+            pl.BlockSpec((7, nfq, kb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nf, nq, kp), q.dtype),
-            jax.ShapeDtypeStruct((12, nfq, kp), q.dtype),
+            jax.ShapeDtypeStruct((7, nfq, kp), q.dtype),
         ),
         interpret=interpret,
     )(q, geo, cvol, cface, iw, iwf, ef, lift)
@@ -271,21 +269,31 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
 
     qm = tuple(tr[i] for i in range(5))
     qp = tuple(nbr[i] for i in range(5))
-    logs_m = (tr[10], tr[11])
-    logs_p = (nbr[10], nbr[11])
+    logs_m = (tr[5], tr[6])
+    logs_p = (nbr[5], nbr[6])
     fluxes = ec_flux_fields(qm, qp, logs_m, logs_p, gamma)
     flux = [sum(fluxes[x][f] * nxj[x] for x in range(3)) for f in range(5)]
 
     if dissipation:
+        def conservative(q):
+            # (rho, u, beta) -> (rho, m, E) with p = rho/(2 beta)
+            rho, u1, u2, u3, beta = (q[i] for i in range(5))
+            u2norm = u1 * u1 + u2 * u2 + u3 * u3
+            e = rho / (2.0 * beta * gm1) + 0.5 * rho * u2norm
+            return rho, rho * u1, rho * u2, rho * u3, e
+
+        um = conservative(tr)
+        up = conservative(nbr)
+
         def lam(u):
-            rho, m1, m2, m3, e = (u[5 + i] for i in range(5))
+            rho, m1, m2, m3, e = u
             un = (m1 * nxj[0] + m2 * nxj[1] + m3 * nxj[2]) * isj
             p = gm1 * (e - 0.5 * un * un / rho)
             return jnp.abs(un / rho) + jnp.sqrt(gamma * p / rho)
 
-        lfc = 0.25 * jnp.maximum(lam(tr), lam(nbr)) * sj
+        lfc = 0.25 * jnp.maximum(lam(um), lam(up)) * sj
         for f in range(5):
-            flux[f] = flux[f] - lfc * (nbr[5 + f] - tr[5 + f])
+            flux[f] = flux[f] - lfc * (up[f] - um[f])
 
     for f in range(5):
         out_ref[f] = -(phqf[f] + jnp.dot(
@@ -323,8 +331,8 @@ def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
         kernel,
         grid=(kp // kb,),
         in_specs=[
-            spec(12, nfq, kb),
-            spec(12, nfq, kb),
+            spec(7, nfq, kb),
+            spec(7, nfq, kb),
             spec(3, nfq, kb),
             spec(nfq, kb),
             spec(nfq, kb),
