@@ -249,7 +249,13 @@ def build_discretization(
     if ref.elem_type in ("quad", "hex") and ref.collocated:
         from ..ops.tensor_product_fd import LineOps
 
-        line_ops = LineOps.make(ref.n)
+        # recover the 1D rule from the tensor structure (x fastest,
+        # symmetric weights), so Gauss and LGL collocation both work
+        n1 = ref.n + 1
+        r1 = np.asarray(ref.rq[0])[:n1]
+        w0 = float(np.asarray(ref.wq)[0]) ** (1.0 / dim)
+        w1 = np.asarray(ref.wq)[:n1] / w0 ** (dim - 1)
+        line_ops = LineOps.make(ref.n, r1, w1)
 
     f = lambda a: _to_dtype(a, dtype)
     return Discretization(

@@ -216,14 +216,19 @@ def _quad_1d_nodes(n: int, node_type: str):
     raise ValueError(f"unknown node_type {node_type!r}")
 
 
-def ref_quad(n: int, node_type: str = "gauss") -> RefElem:
+def ref_quad(n: int, node_type: str = "gauss",
+             quad_type: str = None) -> RefElem:
     """Quadrilateral with tensor Legendre basis.
 
     node_type='gauss' collocates solution and quadrature nodes (Vq = I,
-    diagonal mass).  Parity: src/SetupDG.jl:205 (init_reference_quad).
+    diagonal mass).  node_type='lobatto' with quad_type='lobatto' gives
+    the DG-SEM mass-lumped variant (the reference's
+    init_reference_quad(N, gauss_lobatto_quad(0,0,N)) usage,
+    src/SetupDG.jl:205,229).
     """
     r1d, w1d = _quad_1d_nodes(n, node_type)
-    rq1d, wq1d = gauss_quad(0, 0, n)
+    quad_type = "gauss" if quad_type is None else quad_type
+    rq1d, wq1d = _quad_1d_nodes(n, quad_type)
 
     r, s = bquad._tensor2(r1d, r1d)
     vdm = bquad.vandermonde_2d(n, r, s)
@@ -260,12 +265,15 @@ def ref_quad(n: int, node_type: str = "gauss") -> RefElem:
     )
 
 
-def ref_hex(n: int, node_type: str = "gauss") -> RefElem:
-    """Hexahedron with tensor Legendre basis (default: Gauss collocation).
+def ref_hex(n: int, node_type: str = "gauss",
+            quad_type: str = None) -> RefElem:
+    """Hexahedron with tensor Legendre basis (default: Gauss collocation;
+    node_type=quad_type='lobatto' gives the DG-SEM variant).
 
     Parity: src/SetupDG.jl:323 (init_reference_hex)."""
     r1d, _ = _quad_1d_nodes(n, node_type)
-    rq1d, wq1d = gauss_quad(0, 0, n)
+    quad_type = "gauss" if quad_type is None else quad_type
+    rq1d, wq1d = _quad_1d_nodes(n, quad_type)
 
     r, s, t = bhex._tensor3(r1d, r1d, r1d)
     vdm = bhex.vandermonde_3d(n, r, s, t)

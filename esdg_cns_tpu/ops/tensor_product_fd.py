@@ -46,8 +46,12 @@ class LineOps:
     w1: tuple        # Gauss weights
 
     @staticmethod
-    def make(n: int) -> "LineOps":
-        r1, w1 = gauss_quad(0, 0, n)
+    def make(n: int, r1=None, w1=None) -> "LineOps":
+        """Build from the collocated element's 1D rule (default Gauss;
+        pass the LGL nodes/weights for the DG-SEM variant)."""
+        if r1 is None:
+            r1, w1 = gauss_quad(0, 0, n)
+        r1, w1 = np.asarray(r1), np.asarray(w1)
         vinv = np.linalg.inv(vandermonde_1d(n, r1))
         d1 = grad_vandermonde_1d(n, r1) @ vinv
         s1 = 0.5 * (np.diag(w1) @ d1 - d1.T @ np.diag(w1))

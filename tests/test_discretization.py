@@ -103,3 +103,32 @@ def test_curved_hex_not_affine():
     disc = build_discretization(ref_hex(2), (vx, vy, vz), etov, curved_map=warp)
     assert not disc.affine
     assert disc.geo.shape[1] == disc.nh
+
+
+def test_dgsem_lobatto_variant():
+    """LGL-collocated (DG-SEM) quad/hex: lumped diagonal mass, valid
+    SBP operators, and the line-sparse path built from the LGL rule
+    (reference init_reference_quad(N, gauss_lobatto_quad(0,0,N)))."""
+    import jax
+    import jax.numpy as jnp
+
+    from esdg_cns_tpu.physics import primitive_to_conservative
+    from esdg_cns_tpu.solvers import make_euler_rhs
+
+    ref = ref_hex(2, node_type="lobatto", quad_type="lobatto")
+    assert ref.collocated
+    np.testing.assert_allclose(ref.m, np.diag(np.diag(ref.m)), atol=1e-13)
+
+    vx, vy, vz, etov = uniform_hex_mesh(2)
+    disc = build_discretization(ref, (vx, vy, vz), etov,
+                                periodic_axes=(0, 1, 2))
+    rng = np.random.default_rng(0)
+    sh = (disc.np_, disc.num_elements)
+    q = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((3, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    _, aux = jax.jit(make_euler_rhs(disc, dissipation=False,
+                                    flux_diff_impl="lines"))(q)
+    assert abs(float(aux["rhstest"])) < 1e-11
