@@ -31,9 +31,21 @@ def make_euler_rhs_fused(
     gather_fn=None,
     psum_axis: Optional[str] = None,
 ):
-    """Fused-RHS builder; requires a collocated hex discretization."""
+    """Fused-RHS builder; requires a collocated hex discretization.
+
+    Mosaic currently rejects the kernel's sublane reshapes for N >= 4
+    (Nq = 125 is not 8-aligned); those orders fall back to the XLA
+    line-sparse path automatically."""
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
+    if disc.n >= 4:
+        from .euler import make_euler_rhs
+
+        return make_euler_rhs(
+            disc, gamma=gamma, dissipation=dissipation,
+            flux_diff_impl="lines", compute_rhstest=compute_rhstest,
+            gather_fn=gather_fn, psum_axis=psum_axis,
+        )
     nq = disc.nq
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn
