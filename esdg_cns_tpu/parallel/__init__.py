@@ -1,7 +1,13 @@
-from .halo import HaloExchange, build_halo_exchange
+from .halo import (
+    HaloExchange,
+    HexSlabHalo,
+    build_halo_exchange,
+    build_hex_slab_halo,
+)
 from .sharding import (
     make_sharded_cns_rhs,
     make_sharded_euler_rhs,
+    make_sharded_euler_rhs_fused,
     make_sharded_rhs,
     partition_specs,
     shard_discretization,
@@ -9,9 +15,12 @@ from .sharding import (
 
 __all__ = [
     "HaloExchange",
+    "HexSlabHalo",
     "build_halo_exchange",
+    "build_hex_slab_halo",
     "make_sharded_cns_rhs",
     "make_sharded_euler_rhs",
+    "make_sharded_euler_rhs_fused",
     "make_sharded_rhs",
     "partition_specs",
     "shard_discretization",

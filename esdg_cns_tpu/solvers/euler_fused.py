@@ -30,6 +30,7 @@ def make_euler_rhs_fused(
     block_k: int = 128,
     gather_fn=None,
     psum_axis: Optional[str] = None,
+    interpret: bool = False,
 ):
     """Fused-RHS builder; requires a collocated hex discretization.
 
@@ -57,12 +58,14 @@ def make_euler_rhs_fused(
         ph_qf, traces = euler_volume_pallas(
             q, disc.geo, ef, disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, block_k=block_k,
+            interpret=interpret,
         )
         nbr = gather(traces)
         rhs_q = euler_surface_pallas(
             traces, nbr, nxj, disc.sj, disc.inv_sj, disc.inv_jac,
             disc.lift, ph_qf, gamma,
             dissipation=dissipation, block_k=block_k,
+            interpret=interpret,
         )
 
         aux = {}

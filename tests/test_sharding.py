@@ -143,3 +143,72 @@ def test_shard_map_cns_periodic_equivalence():
     np.testing.assert_allclose(
         float(aux_sm["rhstest"]), float(aux_ref["rhstest"]), atol=1e-9
     )
+
+
+def _hex_setup(k1d=8, n=2):
+    from esdg_cns_tpu.presets import euler_hex_3d
+
+    return euler_hex_3d(n=n, k1d=k1d)
+
+
+def test_hex_slab_halo_matches_gather_traces():
+    """The structured slab halo (local rolls + one-layer z ppermute)
+    reproduces the single-device flat-roll exchange exactly."""
+    from esdg_cns_tpu.parallel import build_hex_slab_halo, partition_specs
+    from jax import shard_map
+
+    disc, _ = _hex_setup()
+    rng = np.random.default_rng(3)
+    traces = jnp.asarray(rng.standard_normal((3, disc.nfq, disc.num_elements)))
+    ref = disc.gather_traces(traces)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    halo = build_hex_slab_halo(disc, 8)
+    specs = partition_specs(halo, disc.num_elements, "e")
+    f = shard_map(
+        lambda tr, h: h.gather(tr),
+        mesh=mesh,
+        in_specs=(P(None, None, "e"), specs),
+        out_specs=P(None, None, "e"),
+    )
+    got = f(traces, halo)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_sharded_matches_single_device():
+    """The production fused Pallas path (the benchmarked configuration)
+    under shard_map + HexSlabHalo matches the single-device fused RHS."""
+    from esdg_cns_tpu.parallel import make_sharded_euler_rhs_fused
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    disc, q = _hex_setup()
+    kw = dict(dissipation=True, compute_rhstest=True, interpret=True)
+    dq_ref, aux_ref = jax.jit(make_euler_rhs_fused(disc, **kw))(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_euler_rhs_fused(mesh, disc, **kw))(q)
+    np.testing.assert_allclose(
+        np.asarray(dq_sm), np.asarray(dq_ref), rtol=1e-13, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["rhstest"]), float(aux_ref["rhstest"]), atol=1e-10
+    )
+
+
+def test_fused_sharded_time_integration():
+    """Five LSRK45 steps of the sharded fused path track the
+    single-device fused trajectory."""
+    from esdg_cns_tpu.parallel import make_sharded_euler_rhs_fused
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    disc, q = _hex_setup()
+    kw = dict(dissipation=True, compute_rhstest=False, interpret=True)
+    rhs_ref = make_euler_rhs_fused(disc, **kw)
+    qf_ref, _ = jax.jit(lambda q0: lsrk45(rhs_ref, q0, 1e-3, 5))(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    rhs_sm = make_sharded_euler_rhs_fused(mesh, disc, **kw)
+    qf_sm, _ = jax.jit(lambda q0: lsrk45(rhs_sm, q0, 1e-3, 5))(q)
+    np.testing.assert_allclose(
+        np.asarray(qf_sm), np.asarray(qf_ref), rtol=1e-12, atol=1e-12
+    )
