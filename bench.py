@@ -32,14 +32,33 @@ try:
 except Exception:
     pass
 
-from esdg_cns_tpu.presets import euler_hex_3d
-from esdg_cns_tpu.solvers import make_euler_rhs
+from esdg_cns_tpu.presets import euler_hex_3d, lid_driven_cavity
+from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
 from esdg_cns_tpu.timestepping import lsrk45
 
 NORTH_STAR = 1.0e9  # DOF * RK-stage / s
 
 
-def main():
+def _time_steps(rhs, q0, steps):
+    dt = jnp.float32(1e-6)  # timing run; stability not at issue
+
+    @jax.jit
+    def run(q):
+        qf, _ = lsrk45(rhs, q, dt, steps)
+        return qf
+
+    q0 = jax.device_put(q0)
+    run(q0).block_until_ready()  # compile + warm up
+    elapsed = float("inf")       # best-of-3 (tunneled-device timing noise)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(q0).block_until_ready()
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    return elapsed
+
+
+def bench_euler_hex():
+    """Headline config: p=3 3D Euler hex, fused Pallas path."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 32))
     steps = int(os.environ.get("BENCH_STEPS", 20))
@@ -57,26 +76,41 @@ def main():
         rhs = make_euler_rhs(
             disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False
         )
-    dt = jnp.float32(1e-6)  # timing run; stability not at issue
-
-    @jax.jit
-    def run(q):
-        qf, _ = lsrk45(rhs, q, dt, steps)
-        return qf
-
-    q0 = jax.device_put(q0)
-    run(q0).block_until_ready()  # compile + warm up
-    elapsed = float("inf")       # best-of-3 (tunneled-device timing noise)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(q0).block_until_ready()
-        elapsed = min(elapsed, time.perf_counter() - t0)
-
+    elapsed = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements
-    stages = 5 * steps
-    value = dof * stages / elapsed
+    return "dof_rk_stage_per_s", dof * 5 * steps / elapsed
+
+
+def bench_cns_cavity():
+    """CNS perf config: 2D lid-driven cavity (the reference's
+    performance-tuned driver, dg2D_CNS_cavity_optimized.jl), N=3 tri,
+    integrated 2-exchange RHS, f32, fixed-dt LSRK45 timing loop."""
+    n = int(os.environ.get("BENCH_N", 3))
+    k1d = int(os.environ.get("BENCH_K1D", 64))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    impl = os.environ.get("BENCH_FD_IMPL", "xla")
+    if jax.devices()[0].platform == "cpu":
+        k1d = int(os.environ.get("BENCH_K1D", 8))
+
+    disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
+    rhs = make_cns_rhs(
+        disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+        flux_diff_impl=impl, compute_rhstest=False,
+    )
+    elapsed = _time_steps(rhs, q0, steps)
+    dof = 4 * disc.np_ * disc.num_elements
+    return "cns_dof_rk_stage_per_s", dof * 5 * steps / elapsed
+
+
+def main():
+    config = os.environ.get("BENCH_CONFIG", "euler_hex")
+    if config == "cns_cavity":
+        metric, value = bench_cns_cavity()
+    else:
+        metric, value = bench_euler_hex()
     print(json.dumps({
-        "metric": "dof_rk_stage_per_s",
+        "metric": metric,
         "value": value,
         "unit": "DOF*stage/s",
         "vs_baseline": value / NORTH_STAR,

@@ -174,6 +174,22 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
         )
 
 
+# Scoped-VMEM budget for the fused kernels.  The default XLA limit is
+# 16 MB; v5e has 128 MB of VMEM, and the N>=4 volume kernel's unrolled
+# line loop needs ~50 MB of stack at block_k=64.  Leaving headroom for
+# double-buffered block transfers, cap the kernel stack at 100 MB.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def default_block_k(nq: int) -> int:
+    """Element-block width for the fused kernels.  Mosaic requires the
+    block's lane dimension to be a multiple of 128 (or the full axis),
+    and the raised VMEM budget fits the N=4 unrolled-line temporaries
+    at full lane width, so 128 is right for every supported order."""
+    del nq
+    return 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret"),
@@ -243,6 +259,7 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
             jax.ShapeDtypeStruct((nf, nq, kp), q.dtype),
             jax.ShapeDtypeStruct((7, nfq, kp), q.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(q, geo, cvol, cface, iw, iwf, ef, lift)
     return out[:, :, :k], traces[:, :, :k]
@@ -343,6 +360,7 @@ def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
         ],
         out_specs=spec(5, nq, kb),
         out_shape=jax.ShapeDtypeStruct((5, nq, kp), traces.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf)
     return out[:, :, :k]

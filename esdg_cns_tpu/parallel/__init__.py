@@ -1,3 +1,4 @@
+from .ensemble import ensemble
 from .halo import (
     HaloExchange,
     HexSlabHalo,
@@ -14,6 +15,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "ensemble",
     "HaloExchange",
     "HexSlabHalo",
     "build_halo_exchange",

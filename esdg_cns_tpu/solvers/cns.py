@@ -28,7 +28,6 @@ from ..physics import euler as phys
 from ..physics.viscous import viscous_flux_1d, viscous_flux_2d
 from .boundary import WallBC
 from .dg_ops import _apply, dg_grad, dg_div
-from .euler import make_euler_rhs
 
 
 def make_viscous_rhs(
@@ -137,45 +136,178 @@ def make_cns_rhs(
     gather_fn=None,
     psum_axis: Optional[str] = None,
 ):
-    """Full CNS RHS = inviscid ES-DG + BR1 viscous parts.
+    """Full CNS RHS = inviscid ES-DG + BR1 viscous parts, integrated.
+
+    Unlike the reference's rhs_inviscid! + rhs_viscous! pair
+    (dg2D_CNS_cavity_optimized.jl:955-972), the two parts are built as
+    ONE function sharing the front end:
+
+      * a single entropy evaluation v(U) feeds both the inviscid
+        entropy projection and the viscous modal coefficients,
+      * the inviscid traces (flux variables + logs + wavespeed) and the
+        viscous entropy-variable traces ride ONE merged neighbor
+        exchange; only the stress traces need a second (also batched)
+        exchange — 2 exchanges per RHS instead of the reference's 3
+        (SURVEY.md 3.3).
 
     Returns rhs(q, t) -> (dq, aux{'rhstest', 'rhstest_visc'}).
     """
-    bc_inviscid = None
-    if bc is not None:
-        def bc_inviscid(d, qm, qp, um, up, t, _bc=bc):
-            return _bc.inviscid(d, qm, qp, um, up, t)
+    import functools
 
-    inv_rhs = make_euler_rhs(
-        disc, gamma=gamma, dissipation=inviscid_dissipation,
-        bc_fun=bc_inviscid, flux_diff_impl=flux_diff_impl,
-        compute_rhstest=False, gather_fn=gather_fn, psum_axis=psum_axis,
-    )
-    visc_rhs = make_viscous_rhs(
-        disc, mu=mu, lam=lam, pr=pr, gamma=gamma, bc=bc,
-        dissipation=viscous_dissipation, re=re,
-        gather_fn=gather_fn, psum_axis=psum_axis,
-    )
+    import jax
+
+    from ..ops.flux_differencing import flux_differencing_xla
+    from .euler import entropy_projection
+
+    dim = disc.dim
+    nq = disc.nq
+    re = (1.0 / mu) if re is None else re
+
+    if flux_diff_impl == "auto":
+        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
+    if flux_diff_impl == "pallas":
+        from ..ops.pallas_fd import flux_differencing_pallas
+
+        fd = functools.partial(flux_differencing_pallas, nq=nq)
+    elif flux_diff_impl in ("lines", "lines_pallas"):
+        from ..ops.tensor_product_fd import (
+            flux_differencing_lines,
+            flux_differencing_lines_pallas,
+        )
+
+        if disc.line_ops is None:
+            raise ValueError("'lines' requires a collocated quad/hex mesh")
+        impl = (flux_differencing_lines_pallas
+                if flux_diff_impl == "lines_pallas"
+                else flux_differencing_lines)
+
+        def fd(qh, qlog, q_skew, geo, gamma):
+            del q_skew
+            return impl(
+                qh, qlog, geo, gamma,
+                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
+            )
+    else:
+        fd = flux_differencing_xla
+
+    adiabatic_mask = None
+    if bc is not None:
+        import numpy as np
+
+        am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
+        for r in bc.regions:
+            if r.kind == "adiabatic":
+                am |= np.asarray(r.mask)
+        adiabatic_mask = jnp.asarray(am)
+
+    gather = disc.gather_traces if gather_fn is None else gather_fn
 
     def rhs(q, t=0.0):
-        dq_i, _ = inv_rhs(q, t)
-        dq_v, aux_v = visc_rhs(q, t)
+        # ---- shared entropy front end ----
+        vu_q, uh = entropy_projection(disc, q, gamma)   # v(U) at quad, Uh
+        vu = _apply(disc.pq, vu_q)                      # modal coefficients
+        vuf = _apply(disc.vf, vu)                       # viscous traces
+
+        beta = phys.betafun(uh, gamma)
+        qh = jnp.concatenate(
+            [uh[0][None], uh[1:-1] / uh[0], beta[None]], axis=0
+        )
+        qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
+
+        # ---- ONE merged neighbor exchange: inviscid + entropy traces ----
+        qm = qh[:, nq:, :]
+        uf = uh[:, nq:, :]
+        qm_log = qlog[:, nq:, :]
+        nf = qm.shape[0]
+        parts = [qm, uf, qm_log]
+        if inviscid_dissipation:
+            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
+            lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
+            parts.append(lam_m[None])
+        n_inv = sum(p.shape[0] for p in parts)
+        parts.append(vuf)
+        nbr = gather(jnp.concatenate(parts, axis=0))
+        qp = nbr[:nf]
+        up = nbr[nf:2 * nf]
+        qp_log = nbr[2 * nf:2 * nf + 2]
+        vup = nbr[n_inv:]
+
+        # ---- inviscid surface ----
+        if bc is not None:
+            qp, up = bc.inviscid(disc, qm, qp, uf, up, t)
+            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
+        else:
+            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
+        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
+        if inviscid_dissipation:
+            lam_p = nbr[n_inv - 1]
+            lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
+            flux = flux - lfc[None] * (up - uf)
+        rhs_surf = _apply(disc.lift, flux)
+
+        # ---- inviscid volume flux differencing ----
+        qf = fd(qh, qlog, disc.q_skew, disc.geo, gamma)
+        dq_i = -(_apply(disc.ph, qf) + rhs_surf) * disc.inv_jac[None]
+
+        # ---- viscous part (BR1) ----
+        if bc is not None:
+            vup = bc.entropy_vars(disc, vuf, vup, t)
+
+        grad = dg_grad(disc, vu, vuf, vup)
+        grad_q = [_apply(disc.vq, g) for g in grad]
+        vuq = _apply(disc.vq, vu)
+
+        if dim == 1:
+            sigma = (viscous_flux_1d(vuq, grad_q[0], mu, lam, pr, gamma),)
+        elif dim == 2:
+            sigma = viscous_flux_2d(vuq, grad_q[0], grad_q[1], mu, lam,
+                                    pr, gamma)
+        else:
+            raise NotImplementedError("3D CNS viscous terms")
+
+        rhstest_visc = sum(
+            jnp.sum(disc.wjq[None] * g * s) for g, s in zip(grad_q, sigma)
+        )
+        if psum_axis is not None:
+            rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
+
+        # ---- ONE batched stress exchange ----
+        sigma_m = [_apply(disc.pq, s) for s in sigma]
+        s_f = [_apply(disc.vf, s) for s in sigma_m]
+        s_nbr = gather(jnp.stack(s_f))
+        s_p = [s_nbr[d] for d in range(dim)]
+        if bc is not None:
+            s_p = bc.stress(disc, s_f, s_p, vuf, t)
+
+        dq_v = dg_div(disc, sigma_m, s_f, s_p)
+
+        if viscous_dissipation:
+            tau = -1.0 / (re * vuf[-1])
+            dv = vup - vuf
+            pen_rows = [jnp.zeros_like(dv[0])]
+            for d in range(dim):
+                pen_rows.append(tau * dv[1 + d])
+            if bc is not None and adiabatic_mask is not None:
+                pen_rows.append(
+                    bc.penalty_energy_rows(vuf, vup, dv, tau, adiabatic_mask)
+                )
+            else:
+                pen_rows.append(tau * dv[-1])
+            pen = jnp.stack(pen_rows)
+            dq_v = dq_v + _apply(disc.lift, pen)
+
         dq = dq_i + dq_v
-        aux = {"rhstest_visc": aux_v["rhstest_visc"]}
+        aux = {"rhstest_visc": rhstest_visc}
         if compute_rhstest:
             # total entropy balance (rhsRK!, cavity_optimized:960-971)
-            vu = phys.v_ufun(_apply(disc.vq, q), gamma)
-            vuq = _apply(disc.vq, _apply(disc.pq, vu))
             rt = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq))
             rtv = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq_v))
             if psum_axis is not None:
-                import jax
-
                 rt = jax.lax.psum(rt, psum_axis)
                 rtv = jax.lax.psum(rtv, psum_axis)
             aux["rhstest"] = rt
-            # aux_v['rhstest_visc'] is already globally reduced
-            aux["rhstest_visc_total"] = rtv + aux_v["rhstest_visc"]
+            # rhstest_visc is already globally reduced
+            aux["rhstest_visc_total"] = rtv + rhstest_visc
         return dq, aux
 
     return rhs

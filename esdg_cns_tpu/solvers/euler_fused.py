@@ -27,19 +27,25 @@ def make_euler_rhs_fused(
     gamma: float = phys.GAMMA,
     dissipation: bool = True,
     compute_rhstest: bool = False,
-    block_k: int = 128,
+    block_k: Optional[int] = None,
     gather_fn=None,
     psum_axis: Optional[str] = None,
     interpret: bool = False,
+    force_fused: bool = False,
 ):
     """Fused-RHS builder; requires a collocated hex discretization.
 
-    Mosaic currently rejects the kernel's sublane reshapes for N >= 4
-    (Nq = 125 is not 8-aligned); those orders fall back to the XLA
-    line-sparse path automatically."""
+    The fused Pallas kernels compile and run for every order, but for
+    N >= 4 the unrolled-line temporaries exceed the 16 MB default VMEM
+    budget (raised to 100 MB via compiler params) and the resulting
+    register/VMEM pressure makes the kernel slower than the XLA
+    line-sparse path — measured on v5e at N=4, K=4096, f32:
+    lines 7.7e8 vs fused 4.4e8 DOF*RK-stage/s.  The builder therefore
+    defaults to the faster lines path for N >= 4; pass force_fused=True
+    to keep the Pallas kernels regardless."""
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
-    if disc.n >= 4:
+    if disc.n >= 4 and not force_fused:
         from .euler import make_euler_rhs
 
         return make_euler_rhs(
@@ -47,6 +53,10 @@ def make_euler_rhs_fused(
             flux_diff_impl="lines", compute_rhstest=compute_rhstest,
             gather_fn=gather_fn, psum_axis=psum_axis,
         )
+    if block_k is None:
+        from ..ops.pallas_volume import default_block_k
+
+        block_k = default_block_k(disc.nq)
     nq = disc.nq
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn

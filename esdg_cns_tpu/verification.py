@@ -43,6 +43,51 @@ def boundary_velocity_error(disc, q, lid_mask, wall_mask, lid_profile):
     return jnp.sqrt(err / norm)
 
 
+def wall_bc_reynolds_ensemble(
+    n: int = 2,
+    k1d: int = 8,
+    bctype: str = "adiabatic",
+    reynolds: Sequence[float] = (50.0, 100.0, 200.0, 400.0),
+    dissipation: tuple = (True, True),
+    t_end: float = 0.1,
+    err_tol: float = 1e-5,
+    mesh=None,
+    axis: str = "e",
+):
+    """The Re axis of the convergence sweep as ONE vmapped (optionally
+    device-sharded) program: every Reynolds member shares the mesh and
+    operators, differs only in the traced viscosity, and runs
+    concurrently — the data-parallel replacement for the reference's
+    serial nested loop (dg2D_CNS_convergence_test.jl:840-852).
+
+    Returns an array of boundary L2 errors, one per Reynolds number.
+    """
+    from .parallel.ensemble import ensemble
+
+    disc, q0, bc, p = lid_driven_cavity(
+        n=n, k1d=k1d, bctype=bctype, lid_profile=regularized_lid
+    )
+    lid_mask = bc.regions[0].mask
+    wall_mask = bc.regions[1].mask
+    prof = jnp.asarray(regularized_lid(np.asarray(disc.xf[0])),
+                       dtype=disc.wq.dtype)
+    cn = (n + 1) * (n + 2) / 2
+    dt0 = min(0.25 * (2.0 / k1d) / cn, 2.0 / (cn * k1d**2))
+    inv_d, visc_d = dissipation
+
+    def single(re):
+        rhs = make_cns_rhs(
+            disc, mu=1.0 / re, pr=p["pr"], re=re, bc=bc,
+            inviscid_dissipation=inv_d, viscous_dissipation=visc_d,
+            compute_rhstest=False,
+        )
+        qf, _ = dopri45(rhs, q0, t_end, dt0, err_tol=err_tol)
+        return boundary_velocity_error(disc, qf, lid_mask, wall_mask, prof)
+
+    run = ensemble(single, mesh=mesh, axis=axis)
+    return run(jnp.asarray(reynolds, dtype=disc.wq.dtype))
+
+
 def wall_bc_convergence_study(
     orders: Sequence[int] = (1, 2, 3, 4),
     k1d: int = 32,

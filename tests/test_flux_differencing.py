@@ -138,3 +138,21 @@ def test_fused_rhs_free_stream_cpu():
     finally:
         ef_mod.euler_volume_pallas = orig_v
         ef_mod.euler_surface_pallas = orig_s
+
+
+def test_fused_rhs_matches_lines_n4_f64():
+    """The fused kernels are correct at N=4 too (f64, interpret mode):
+    the builder defaults to the faster lines path for N>=4, but
+    force_fused must agree with it to roundoff."""
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    disc, q0 = euler_hex_3d(n=4, k1d=2)
+    a, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
+                          compute_rhstest=False)(q0)
+    b, _ = make_euler_rhs_fused(disc, dissipation=True, force_fused=True,
+                                interpret=True)(q0)
+    scale = float(jnp.abs(jnp.asarray(a)).max())
+    np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                               rtol=1e-11, atol=1e-11)
