@@ -86,11 +86,14 @@ def bench_cns_cavity():
     performance-tuned driver, dg2D_CNS_cavity_optimized.jl), N=3 tri,
     integrated 2-exchange RHS, f32, fixed-dt LSRK45 timing loop."""
     n = int(os.environ.get("BENCH_N", 3))
-    k1d = int(os.environ.get("BENCH_K1D", 64))
+    k1d = int(os.environ.get("BENCH_K1D", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    impl = os.environ.get("BENCH_FD_IMPL", "xla")
+    # measured on v5e (uncontended, N=3): pallas 1.98e8 @ k1d=128 vs
+    # xla 1.38e8 @ k1d=64 DOF*stage/s -> one-hot Pallas tri kernel wins
+    impl = os.environ.get("BENCH_FD_IMPL", "pallas")
     if jax.devices()[0].platform == "cpu":
         k1d = int(os.environ.get("BENCH_K1D", 8))
+        impl = os.environ.get("BENCH_FD_IMPL", "xla")
 
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
     rhs = make_cns_rhs(

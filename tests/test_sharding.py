@@ -212,3 +212,95 @@ def test_fused_sharded_time_integration():
     np.testing.assert_allclose(
         np.asarray(qf_sm), np.asarray(qf_ref), rtol=1e-12, atol=1e-12
     )
+
+
+def test_pjit_cavity_wall_bc_equivalence():
+    """Wall-BC CNS (the reference's headline cavity workload) under
+    pjit/SPMD element sharding matches single device: the boundary
+    masks are replicated closure constants; XLA partitions the blends."""
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_cns_rhs
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=8)  # K=128
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs(disc, **kw))(q0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    disc_s, q_s = shard_discretization(mesh, "e", disc, q0)
+    dq_s, aux_s = jax.jit(make_cns_rhs(disc_s, **kw))(q_s)
+    np.testing.assert_allclose(
+        np.asarray(dq_s), np.asarray(dq_ref), rtol=1e-11, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        float(aux_s["rhstest"]), float(aux_ref["rhstest"]), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(aux_s["rhstest_visc"]), float(aux_ref["rhstest_visc"]),
+        rtol=1e-9,
+    )
+
+
+def test_pjit_dopri45_cavity_adaptive():
+    """Adaptive DOPRI45 under pjit: the Hairer-seminorm error estimate
+    is a global jnp.mean reduction (a psum under SPMD), so the sharded
+    run takes the same accept/reject decisions and trajectory as the
+    single-device run."""
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_cns_rhs
+    from esdg_cns_tpu.timestepping import dopri45
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=8)
+    rhs = make_cns_rhs(
+        disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+        compute_rhstest=False,
+    )
+    dt0 = 1e-3
+    t_end = 5e-3
+
+    step = jax.jit(lambda q: dopri45(rhs, q, t_end, dt0, err_tol=1e-5))
+    qf_ref, st_ref = step(q0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    disc_s, q_s = shard_discretization(mesh, "e", disc, q0)
+    rhs_s = make_cns_rhs(
+        disc_s, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+        compute_rhstest=False,
+    )
+    qf_s, st_s = jax.jit(lambda q: dopri45(rhs_s, q, t_end, dt0,
+                                           err_tol=1e-5))(q_s)
+    assert int(st_s["n_accepted"]) == int(st_ref["n_accepted"])
+    assert int(st_s["n_rejected"]) == int(st_ref["n_rejected"])
+    np.testing.assert_allclose(
+        np.asarray(qf_s), np.asarray(qf_ref), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_shard_map_dopri45_matches_single_device():
+    """Adaptive stepping over the shard_map halo RHS: dopri45 runs on
+    the global state outside shard_map, so its error estimate is a
+    global reduction there too."""
+    from esdg_cns_tpu.parallel import make_sharded_cns_rhs
+    from esdg_cns_tpu.solvers import make_cns_rhs
+    from esdg_cns_tpu.timestepping import dopri45
+
+    disc, q = _tri_setup(k1d=8, n=2)
+    kw = dict(mu=1e-2, pr=0.72, inviscid_dissipation=True,
+              viscous_dissipation=True, compute_rhstest=False)
+    rhs_ref = make_cns_rhs(disc, **kw)
+    dt0, t_end = 1e-3, 5e-3
+    qf_ref, st_ref = jax.jit(
+        lambda q0: dopri45(rhs_ref, q0, t_end, dt0, err_tol=1e-5)
+    )(q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    rhs_sm = make_sharded_cns_rhs(mesh, disc, **kw)
+    qf_sm, st_sm = jax.jit(
+        lambda q0: dopri45(rhs_sm, q0, t_end, dt0, err_tol=1e-5)
+    )(q)
+    assert int(st_sm["n_accepted"]) == int(st_ref["n_accepted"])
+    np.testing.assert_allclose(
+        np.asarray(qf_sm), np.asarray(qf_ref), rtol=1e-9, atol=1e-9
+    )
