@@ -53,6 +53,74 @@ def banded_matrix_function(mat_fn: Callable, q: jnp.ndarray):
     return jax.vmap(mat_fn, in_axes=1, out_axes=2)(q)
 
 
+def assemble_global_sbp_2d(disc, dtol: float = 1e-12):
+    """Assemble the global sparse 2D SBP matrices (Ax, Ay, Bx, By, B).
+
+    Host-side analysis capability (scipy.sparse), parity with the
+    reference's ``assemble_global_SBP_matrices_2D``
+    (src/ExplicitJacobians.jl:165-204, affine assumption :185-189):
+
+      * Ax, Ay: block-diagonal per-element skew operators
+        geo-weighted, rxJ*Qrhskew + sxJ*Qshskew (and y analogue);
+      * Bx, By, B: off-diagonal face couplings diag(0.5*wf*nxJ) (resp.
+        nyJ, sJ) from each element's face rows to the matched neighbor
+        face columns, self-neighbors (boundary faces) skipped.
+
+    With the reference's scaling Qx = 2*(Ax + Bx), the global Hadamard
+    sum sum_j Qx_ij F(u_i, u_j) over the hybridized state reproduces
+    the production ES-DG RHS on periodic meshes (tested in
+    tests/test_implicit.py).  Returns five scipy.sparse CSR matrices of
+    shape [Nh*K, Nh*K] (element-major block layout, f64).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    if disc.dim != 2:
+        raise ValueError("global SBP assembly is 2D-only (as the reference)")
+    if not disc.affine:
+        raise ValueError("global SBP assembly assumes an affine mesh")
+
+    nh, nq, nfq = disc.nh, disc.nq, disc.nfq
+    k = disc.num_elements
+    qr = np.asarray(disc.q_skew[0], np.float64)
+    qs = np.asarray(disc.q_skew[1], np.float64)
+    geo = np.asarray(disc.geo, np.float64)    # [4, 1, K] rdir-major
+    rxj, ryj, sxj, syj = geo[0, 0], geo[1, 0], geo[2, 0], geo[3, 0]
+    wf = np.asarray(disc.wf, np.float64)
+    nxj = np.asarray(disc.nxj[0], np.float64)
+    nyj = np.asarray(disc.nxj[1], np.float64)
+    sj = np.asarray(disc.sj, np.float64)
+
+    ax = sp.block_diag(
+        [rxj[e] * qr + sxj[e] * qs for e in range(k)], format="csr"
+    )
+    ay = sp.block_diag(
+        [ryj[e] * qr + syj[e] * qs for e in range(k)], format="csr"
+    )
+
+    # face couplings from the row-major flat gather table (node*K + elem)
+    map_p = np.asarray(disc.map_p)
+    node_g = map_p // k                        # [Nfq, K]
+    elem_g = map_p % k
+    aa, ee = np.meshgrid(np.arange(nfq), np.arange(k), indexing="ij")
+    interior = elem_g != ee                    # skip boundary self-maps
+    a_i, e_i = aa[interior], ee[interior]
+    rows = e_i * nh + nq + a_i
+    cols = elem_g[interior] * nh + nq + node_g[interior]
+    w = 0.5 * wf[a_i]
+    shape = (nh * k, nh * k)
+    bx = sp.csr_matrix((w * nxj[a_i, e_i], (rows, cols)), shape=shape)
+    by = sp.csr_matrix((w * nyj[a_i, e_i], (rows, cols)), shape=shape)
+    b = sp.csr_matrix((w * sj[a_i, e_i], (rows, cols)), shape=shape)
+
+    out = []
+    for m in (ax, ay, bx, by, b):
+        m.data[np.abs(m.data) < dtol] = 0.0
+        m.eliminate_zeros()
+        out.append(m)
+    return tuple(out)
+
+
 def build_rhs_matrix(rhs_fn: Callable, shape):
     """Dense matrix of a linear (or linearized) operator by probing with
     basis vectors (reference build_rhs_matrix :150, done with vmapped

@@ -88,19 +88,30 @@ def entropy_fun(u, gamma=GAMMA):
     return -u[0] * sfun(u, gamma)
 
 
-def v_ufun(u, gamma=GAMMA):
-    """Entropy variables V = dS/dU, stacked [f, ...]."""
+# Optional constant rescaling of the entropy variables (reference
+# EntropyStableEuler.jl:18-24: entropy_scaling with
+# scale_entropy_output/input; e.g. 1/gamma makes -1/vE a nondimensional
+# temperature).  The default 1.0 matches the packaged module's shipped
+# value; pass `scaling` to v_ufun/u_vfun to change the convention.
+ENTROPY_SCALING = 1.0
+
+
+def v_ufun(u, gamma=GAMMA, scaling=ENTROPY_SCALING):
+    """Entropy variables V = scaling * dS/dU, stacked [f, ...]."""
     rho, mom, e = _split(u)
     p = pfun(u, gamma)
     s = sfun(u, gamma)
     v1 = (gamma + 1.0 - s) - (gamma - 1.0) * e / p
     vmom = (gamma - 1.0) * mom / p
     ve = -(gamma - 1.0) * rho / p
-    return jnp.concatenate([v1[None], vmom, ve[None]], axis=0)
+    v = jnp.concatenate([v1[None], vmom, ve[None]], axis=0)
+    return v if scaling == 1.0 else scaling * v
 
 
-def u_vfun(v, gamma=GAMMA):
+def u_vfun(v, gamma=GAMMA, scaling=ENTROPY_SCALING):
     """Conservative variables from entropy variables (inverse of v_ufun)."""
+    if scaling != 1.0:
+        v = v / scaling
     v1, vmom, ve = _split(v)
     vnorm = jnp.sum(vmom * vmom, axis=0)
     s = gamma - v1 + vnorm / (2.0 * ve)

@@ -161,3 +161,29 @@ def test_jit_and_vmap_compatibility():
     qb = jnp.stack([q, q])
     vm = jax.vmap(lambda a: ec_flux(a, a)[0])(qb)
     assert vm.shape == (2, *u.shape)
+
+
+def test_entropy_scaling_option():
+    """Constant entropy-variable rescaling (reference
+    EntropyStableEuler.jl:18-24): v_ufun(scaling=s) = s * v_ufun, the
+    involution holds under matching scaling, and with s = 1/gamma
+    vE = -1/(gamma*iota) with iota = p/((gamma-1) rho) the
+    nondimensional temperature (reference comment, line 20)."""
+    import numpy as np
+
+    from esdg_cns_tpu.physics import euler as phys
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(np.stack([
+        2 + rng.random(7), rng.standard_normal(7),
+        rng.standard_normal(7), 10 + rng.random(7),
+    ]))
+    s = 1.0 / 1.4
+    v = phys.v_ufun(u, scaling=s)
+    np.testing.assert_allclose(np.asarray(v), s * np.asarray(phys.v_ufun(u)),
+                               rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(phys.u_vfun(v, scaling=s)),
+                               np.asarray(u), rtol=1e-12)
+    iota = np.asarray(phys.pfun(u) / (0.4 * u[0]))
+    np.testing.assert_allclose(np.asarray(-1.0 / (1.4 * v[-1])), iota,
+                               rtol=1e-12)

@@ -111,11 +111,18 @@ def test_free_stream_preservation_curved_hex():
     assert float(jnp.abs(dq).max()) < 1e-11
 
 
-def _vortex_error(n, k1d, t_end=0.05):
-    vx, vy, etov = uniform_tri_mesh(int(round(4 / 3 * k1d)), k1d)
+def _vortex_error(n, k1d, t_end=0.05, elem="tri"):
+    if elem == "tri":
+        vx, vy, etov = uniform_tri_mesh(int(round(4 / 3 * k1d)), k1d)
+        ref = ref_tri(n)
+    else:
+        from esdg_cns_tpu.core import ref_quad
+        from esdg_cns_tpu.mesh import uniform_quad_mesh
+
+        vx, vy, etov = uniform_quad_mesh(int(round(4 / 3 * k1d)), k1d)
+        ref = ref_quad(n)
     vx = 15 * (1 + vx) / 2
     vy = 5 * vy
-    ref = ref_tri(n)
     disc = build_discretization(ref, (vx, vy), etov, periodic_axes=(0, 1))
     q0 = primitive_to_conservative(
         *(lambda r, u, v, p: (jnp.asarray(r), jnp.stack([jnp.asarray(u), jnp.asarray(v)]), jnp.asarray(p)))(
@@ -164,13 +171,23 @@ def test_density_wave_convergence_1d():
     assert rate > n + 0.5, f"rate {rate:.2f}, errors {errs}"
 
 
-def test_vortex_convergence_smoke():
-    """Isentropic-vortex integration error decreases superlinearly under
-    refinement (full asymptotic N+1 rate needs finer meshes than the
-    CPU test budget allows; the reference's own oracle is a printed
-    error at one resolution, dg2D_euler_tri.jl:216-231)."""
+def test_vortex_convergence_rate_tri():
+    """Isentropic-vortex convergence on triangles in the asymptotic
+    regime (k=16->32 resolves the vortex core): rate > N + 0.5
+    (reference oracle: printed L2 error, dg2D_euler_tri.jl:216-231;
+    measured rate 2.98 at N=2)."""
     n = 2
-    e1 = _vortex_error(n, 4, t_end=0.05)
-    e2 = _vortex_error(n, 8, t_end=0.05)
+    e1 = _vortex_error(n, 16, t_end=0.05)
+    e2 = _vortex_error(n, 32, t_end=0.05)
     rate = np.log2(e1 / e2)
-    assert rate > 1.5, f"rate {rate:.2f}, errors {e1:.3e} -> {e2:.3e}"
+    assert rate > n + 0.5, f"rate {rate:.2f}, errors {e1:.3e} -> {e2:.3e}"
+
+
+def test_vortex_convergence_rate_quad():
+    """Same oracle on the collocated quad path (reference
+    dg2D_euler_quad.jl:217-233; measured rate 3.72 at N=3)."""
+    n = 3
+    e1 = _vortex_error(n, 16, t_end=0.05, elem="quad")
+    e2 = _vortex_error(n, 32, t_end=0.05, elem="quad")
+    rate = np.log2(e1 / e2)
+    assert rate > n + 0.4, f"rate {rate:.2f}, errors {e1:.3e} -> {e2:.3e}"

@@ -116,3 +116,165 @@ def test_build_rhs_matrix_matches_linear_operator():
         np.asarray(rhs(u)[0].reshape(-1)),
         atol=1e-11,
     )
+
+
+def test_global_sbp_assembly_matches_euler_rhs():
+    """The assembled global SBP matrices reproduce the production ES-DG
+    RHS: with Qx = 2(Ax+Bx), Qy = 2(Ay+By), the global Hadamard sum of
+    the EC flux over the hybridized state, projected by Ph and scaled by
+    -1/J, equals make_euler_rhs (dissipation off) on a periodic mesh
+    (reference usage: implicit_euler_2D.jl:68-79,175)."""
+    from esdg_cns_tpu.ops.jacobians import assemble_global_sbp_2d
+    from esdg_cns_tpu.physics import conservative_to_primitive_beta
+    from esdg_cns_tpu.physics.euler import ec_flux
+    from esdg_cns_tpu.solvers.euler import _apply, entropy_projection
+
+    disc = _tri_disc(2, 2)
+    k, nh = disc.num_elements, disc.nh
+    ax, ay, bx, by, b = assemble_global_sbp_2d(disc)
+    qx = jnp.asarray((2.0 * (ax + bx)).toarray())
+    qy = jnp.asarray((2.0 * (ay + by)).toarray())
+
+    rng = np.random.default_rng(1)
+    sh = (disc.np_, k)
+    q = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    _, uh = entropy_projection(disc, q, 1.4)
+    u = jnp.asarray(np.transpose(np.asarray(uh), (0, 2, 1)).reshape(4, -1))
+
+    def fdir(d):
+        def f(ui, uj):
+            qi = conservative_to_primitive_beta(ui)
+            qj = conservative_to_primitive_beta(uj)
+            return ec_flux(qi, qj)[d]
+        return f
+
+    r = hadamard_sum(qx, fdir(0), u) + hadamard_sum(qy, fdir(1), u)
+    r = jnp.asarray(np.transpose(np.asarray(r).reshape(4, k, nh), (0, 2, 1)))
+    dq = -_apply(disc.ph, r) * disc.inv_jac[None]
+
+    dq_ref, _ = make_euler_rhs(disc, dissipation=False)(q)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_global_sbp_skew_symmetry():
+    """On a fully periodic mesh the assembled global operators are
+    skew-symmetric (the discrete integration-by-parts that entropy
+    conservation rests on), and B is symmetric nonnegative."""
+    from esdg_cns_tpu.ops.jacobians import assemble_global_sbp_2d
+
+    disc = _tri_disc(3, 2)
+    ax, ay, bx, by, b = assemble_global_sbp_2d(disc)
+    for qg in (ax + bx, ay + by):
+        asym = abs((qg + qg.T)).max()
+        assert asym < 1e-12, asym
+    assert abs((b - b.T)).max() < 1e-12
+    assert b.min() >= 0.0
+
+
+def test_assembled_newton_matches_matrix_free():
+    """Assembled-Jacobian Newton for the implicit midpoint step (the
+    reference's path: global SBP matrices + hadamard_jacobian +
+    banded_matrix_function dV/dU, dU/dV chain, implicit_euler_2D.jl:
+    168-195) converges to the same state as the matrix-free
+    Newton-Krylov implicit_midpoint."""
+    import jax.numpy as jnp
+
+    from esdg_cns_tpu.ops.jacobians import (
+        assemble_global_sbp_2d,
+        banded_matrix_function,
+    )
+    from esdg_cns_tpu.physics import conservative_to_primitive_beta
+    from esdg_cns_tpu.physics import euler as phys
+    from esdg_cns_tpu.physics.euler import ec_flux
+    from esdg_cns_tpu.solvers.euler import _apply
+
+    disc = _tri_disc(1, 1)   # K=2, N=1: small enough for dense jacfwd
+    k, nh, nq, np_ = disc.num_elements, disc.nh, disc.nq, disc.np_
+
+    ax, ay, bx, by, _ = assemble_global_sbp_2d(disc)
+    qx = jnp.asarray((2.0 * (ax + bx)).toarray())
+    qy = jnp.asarray((2.0 * (ay + by)).toarray())
+
+    rng = np.random.default_rng(2)
+    sh = (np_, k)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.2 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    rhs = make_euler_rhs(disc, dissipation=False)
+    dt = 1e-3
+
+    # --- matrix-free reference ---
+    qf_mf, aux = jax.jit(
+        lambda q: implicit_midpoint(lambda qq, t=0.0: rhs(qq, t), q, dt, 1,
+                                    tol=1e-13)
+    )(q0)
+    assert float(aux["newton_residual"].max()) < 1e-12
+
+    # --- assembled Jacobian of the RHS at a state (global dense) ---
+    vq_g = np.kron(np.eye(k), np.asarray(disc.vq))      # [NqK, NpK]
+    vhp_g = np.kron(np.eye(k), np.asarray(disc.vhp))    # [NhK, NqK]
+    ph_g = np.kron(np.eye(k), np.asarray(disc.ph))      # [NpK, NhK]
+    invj_g = np.transpose(np.asarray(disc.inv_jac)).reshape(-1)  # [NpK]
+
+    def fdir(d):
+        def f(ui, uj):
+            return ec_flux(conservative_to_primitive_beta(ui),
+                           conservative_to_primitive_beta(uj))[d]
+        return f
+
+    def flat_em(x):   # [Nf, nodes, K] -> element-major [Nf, K*nodes]
+        return jnp.asarray(
+            np.transpose(np.asarray(x), (0, 2, 1)).reshape(x.shape[0], -1)
+        )
+
+    def unflat_em(x, nodes):
+        return jnp.asarray(
+            np.transpose(np.asarray(x).reshape(-1, k, nodes), (0, 2, 1))
+        )
+
+    v_point = lambda u: phys.v_ufun(u[:, None], 1.4)[:, 0]
+    u_point = lambda v: phys.u_vfun(v[:, None], 1.4)[:, 0]
+
+    def rhs_jacobian(q):
+        uq = _apply(disc.vq, q)
+        vu = phys.v_ufun(uq, 1.4)
+        vh = _apply(disc.vhp, vu)
+        uh = phys.u_vfun(vh, 1.4)
+        uh_f = flat_em(uh)
+        jr = (hadamard_jacobian(qx, fdir(0), uh_f)
+              + hadamard_jacobian(qy, fdir(1), uh_f))   # [4,NhK,4,NhK]
+        dudv = banded_matrix_function(jax.jacfwd(u_point), flat_em(vh))
+        dvdu = banded_matrix_function(jax.jacfwd(v_point), flat_em(uq))
+        # chain: r(uh(vh(vu(uq(q)))))
+        j1 = np.einsum("finh,nmh->fimh", np.asarray(jr), np.asarray(dudv))
+        j2 = np.einsum("fimh,hq->fimq", j1, vhp_g)
+        j3 = np.einsum("fimq,mgq->figq", j2, np.asarray(dvdu))
+        j4 = np.einsum("figq,qp->figp", j3, vq_g)
+        jrhs = -np.einsum("p,pi,figj->fpgj", invj_g, ph_g, j4)
+        return jrhs                                      # [4,NpK,4,NpK]
+
+    # --- assembled Newton on the midpoint residual ---
+    nglob = 4 * np_ * k
+    q_mid = q0
+    for _ in range(6):
+        dq_mid, _ = rhs(q_mid)
+        res = flat_em(q_mid - q0 - 0.5 * dt * dq_mid)
+        jrhs = rhs_jacobian(q_mid)
+        jac = (np.eye(nglob)
+               - 0.5 * dt * np.asarray(jrhs).reshape(nglob, nglob))
+        delta = np.linalg.solve(jac, -np.asarray(res).reshape(nglob))
+        q_mid = q_mid + unflat_em(delta.reshape(4, -1), np_)
+        if np.abs(delta).max() < 1e-13:
+            break
+    assert np.abs(delta).max() < 1e-13, "assembled Newton did not converge"
+    qf_asm = 2.0 * q_mid - q0
+
+    np.testing.assert_allclose(np.asarray(qf_asm), np.asarray(qf_mf),
+                               rtol=1e-10, atol=1e-10)
