@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core.discretization import Discretization
 from ..physics import euler as phys
-from ..physics.viscous import viscous_flux_1d, viscous_flux_2d
+from ..physics.viscous import viscous_flux_nd
 from .boundary import WallBC
 from .dg_ops import _apply, dg_grad, dg_div
 
@@ -75,12 +75,7 @@ def make_viscous_rhs(
         grad_q = [_apply(disc.vq, g) for g in grad]
         vuq = _apply(disc.vq, vu)
 
-        if dim == 1:
-            sigma = (viscous_flux_1d(vuq, grad_q[0], mu, lam, pr, gamma),)
-        elif dim == 2:
-            sigma = viscous_flux_2d(vuq, grad_q[0], grad_q[1], mu, lam, pr, gamma)
-        else:
-            raise NotImplementedError("3D CNS viscous terms")
+        sigma = viscous_flux_nd(vuq, grad_q, mu, lam, pr, gamma)
 
         # viscous entropy production (>= 0): sum wJq grad(v) . sigma
         rhstest_visc = sum(
@@ -133,6 +128,7 @@ def make_cns_rhs(
     re: Optional[float] = None,
     flux_diff_impl: str = "auto",
     compute_rhstest: bool = True,
+    rhstest_mode: str = "native",
     gather_fn=None,
     psum_axis: Optional[str] = None,
 ):
@@ -157,6 +153,7 @@ def make_cns_rhs(
     import jax
 
     from ..ops.flux_differencing import flux_differencing_xla
+    from ..utils.compensated import weighted_entropy_residual
     from .euler import entropy_projection
 
     dim = disc.dim
@@ -257,16 +254,11 @@ def make_cns_rhs(
         grad_q = [_apply(disc.vq, g) for g in grad]
         vuq = _apply(disc.vq, vu)
 
-        if dim == 1:
-            sigma = (viscous_flux_1d(vuq, grad_q[0], mu, lam, pr, gamma),)
-        elif dim == 2:
-            sigma = viscous_flux_2d(vuq, grad_q[0], grad_q[1], mu, lam,
-                                    pr, gamma)
-        else:
-            raise NotImplementedError("3D CNS viscous terms")
+        sigma = viscous_flux_nd(vuq, grad_q, mu, lam, pr, gamma)
 
         rhstest_visc = sum(
-            jnp.sum(disc.wjq[None] * g * s) for g, s in zip(grad_q, sigma)
+            weighted_entropy_residual(disc.wjq, g, s, rhstest_mode)
+            for g, s in zip(grad_q, sigma)
         )
         if psum_axis is not None:
             rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
@@ -300,8 +292,12 @@ def make_cns_rhs(
         aux = {"rhstest_visc": rhstest_visc}
         if compute_rhstest:
             # total entropy balance (rhsRK!, cavity_optimized:960-971)
-            rt = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq))
-            rtv = jnp.sum(disc.wjq[None] * vuq * _apply(disc.vq, dq_v))
+            rt = weighted_entropy_residual(
+                disc.wjq, vuq, _apply(disc.vq, dq), rhstest_mode
+            )
+            rtv = weighted_entropy_residual(
+                disc.wjq, vuq, _apply(disc.vq, dq_v), rhstest_mode
+            )
             if psum_axis is not None:
                 rt = jax.lax.psum(rt, psum_axis)
                 rtv = jax.lax.psum(rtv, psum_axis)

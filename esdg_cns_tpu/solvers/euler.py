@@ -73,6 +73,7 @@ def make_euler_rhs(
     bc_fun: Optional[Callable] = None,
     flux_diff_impl: str = "xla",
     compute_rhstest: bool = True,
+    rhstest_mode: str = "native",
     gather_fn: Optional[Callable] = None,
     psum_axis: Optional[str] = None,
 ):
@@ -87,6 +88,9 @@ def make_euler_rhs(
         up, normals, bmask).  Periodicity is already baked into mapP.
       flux_diff_impl: 'xla' (portable), 'lines' (tensor-product sparse,
         collocated quad/hex) or 'pallas' (fused TPU kernel).
+      rhstest_mode: accumulation accuracy of the entropy-balance
+        diagnostic — 'native', 'compensated' (double-float Dot2, the
+        TPU f32 option) or 'f64' (utils.compensated).
       gather_fn: override for the neighbor-trace gather (the shard_map
         halo-exchange path passes HaloExchange.gather here).
       psum_axis: mesh axis over which diagnostics are all-reduced when
@@ -166,7 +170,11 @@ def make_euler_rhs(
 
         aux = {}
         if compute_rhstest:
-            rt = jnp.sum(disc.wjq[None] * vu * _apply(disc.vq, rhs_q))
+            from ..utils.compensated import weighted_entropy_residual
+
+            rt = weighted_entropy_residual(
+                disc.wjq, vu, _apply(disc.vq, rhs_q), rhstest_mode
+            )
             if psum_axis is not None:
                 rt = jax.lax.psum(rt, psum_axis)
             aux["rhstest"] = rt

@@ -27,6 +27,7 @@ def make_euler_rhs_fused(
     gamma: float = phys.GAMMA,
     dissipation: bool = True,
     compute_rhstest: bool = False,
+    rhstest_mode: str = "native",
     block_k: Optional[int] = None,
     gather_fn=None,
     psum_axis: Optional[str] = None,
@@ -51,6 +52,7 @@ def make_euler_rhs_fused(
         return make_euler_rhs(
             disc, gamma=gamma, dissipation=dissipation,
             flux_diff_impl="lines", compute_rhstest=compute_rhstest,
+            rhstest_mode=rhstest_mode,
             gather_fn=gather_fn, psum_axis=psum_axis,
         )
     if block_k is None:
@@ -80,8 +82,10 @@ def make_euler_rhs_fused(
 
         aux = {}
         if compute_rhstest:
+            from ..utils.compensated import weighted_entropy_residual
+
             vu = phys.v_ufun(q, gamma)  # collocated: Vq = I
-            rt = jnp.sum(disc.wjq[None] * vu * rhs_q)
+            rt = weighted_entropy_residual(disc.wjq, vu, rhs_q, rhstest_mode)
             if psum_axis is not None:
                 rt = jax.lax.psum(rt, psum_axis)
             aux["rhstest"] = rt
