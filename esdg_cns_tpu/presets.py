@@ -8,6 +8,35 @@ import numpy as np
 
 from .core import build_discretization, ref_hex, ref_line, ref_tri
 from .mesh import uniform_hex_mesh, uniform_line_mesh, uniform_tri_mesh
+
+
+def _becker_dirichlet_bc(disc, shock, embed):
+    """Dirichlet far-field BC from the exact Becker wave: flux variables
+    for the inviscid ghost states, entropy variables for the BR1
+    gradient stage.  ``embed(u1d) -> [Nf, Nfq, K]`` lifts the 1D exact
+    conservative state (evaluated at the face x-coordinates) to the
+    problem's field count."""
+    import jax.numpy as jnp
+
+    from .physics import conservative_to_primitive_beta, v_ufun
+    from .solvers.boundary import Region, WallBC
+
+    xf = disc.xf[0]
+
+    def exact(t):
+        return embed(shock.conservative_jax(xf, t))
+
+    def dirichlet_flux_vars(t):
+        return conservative_to_primitive_beta(exact(t), shock.gamma)
+
+    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
+                              state=dirichlet_flux_vars)])
+
+    def entropy_vars(d, vuf, vup, t=0.0):
+        return jnp.where(disc.bmask[None], v_ufun(exact(t), shock.gamma), vup)
+
+    bc.entropy_vars = entropy_vars
+    return bc
 from .physics import primitive_to_conservative
 from .physics.exact import BeckerShock
 from .solvers.boundary import Region, WallBC, region_from_indicator
@@ -53,28 +82,7 @@ def becker_shocktube_1d(n: int = 4, k: int = 128, xl: float = -2.0,
     disc = build_discretization(ref_line(n), (vx,), etov, dtype=dtype)
     q0 = jnp.asarray(shock.conservative(np.asarray(disc.x[0]), 0.0),
                      dtype=disc.wq.dtype)
-
-    xf = disc.xf[0]
-
-    def dirichlet_flux_vars(t):
-        from .physics import conservative_to_primitive_beta
-
-        u = shock.conservative_jax(xf, t)
-        return conservative_to_primitive_beta(u, shock.gamma)
-
-    def dirichlet_entropy_vars(t):
-        from .physics import v_ufun
-
-        return v_ufun(shock.conservative_jax(xf, t), shock.gamma)
-
-    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
-                              state=dirichlet_flux_vars)])
-
-    # the BR1 gradient stage needs the far-field state in entropy space
-    def entropy_vars(d, vuf, vup, t=0.0):
-        return jnp.where(disc.bmask[None], dirichlet_entropy_vars(t), vup)
-
-    bc.entropy_vars = entropy_vars
+    bc = _becker_dirichlet_bc(disc, shock, embed=lambda u: u)
     return disc, q0, bc, shock
 
 
@@ -143,28 +151,45 @@ def becker_shocktube_2d(n: int = 2, k1d: int = 16, xl: float = -2.0,
         dtype=disc.wq.dtype,
     )
 
-    xf = disc.xf[0]
-
-    def exact_2d(t):
-        u = shock.conservative_jax(xf, t)  # [3, Nfq, K]
+    def embed(u):  # [3, ...] -> [4, ...]: zero y-momentum
         z = jnp.zeros_like(u[0])
         return jnp.stack([u[0], u[1], z, u[2]])
 
-    def dirichlet_flux_vars(t):
-        from .physics import conservative_to_primitive_beta
+    bc = _becker_dirichlet_bc(disc, shock, embed)
+    return disc, q0, bc, shock
 
-        return conservative_to_primitive_beta(exact_2d(t), shock.gamma)
 
-    def dirichlet_entropy_vars(t):
-        from .physics import v_ufun
+def becker_shocktube_3d(n: int = 2, k1d: int = 8, xl: float = -2.0,
+                        xr: float = 2.0, shock: BeckerShock = None,
+                        dtype=None):
+    """3D CNS viscous shocktube: the 1D Becker wave extended in y and z
+    on a collocated hex mesh, periodic in y/z, Dirichlet inflow/outflow
+    in x.  Capability beyond the reference (which stops at 2D CNS);
+    construction mirrors becker_shocktube_2d /
+    dg2D_CNS_modalESDG.jl:22-27,161-217.
 
-        return v_ufun(exact_2d(t), shock.gamma)
+    Returns (disc, q0, bc, shock).
+    """
+    shock = BeckerShock(mu=0.01) if shock is None else shock
+    ky = max(k1d // 4, 1)
+    vx, vy, vz, etov = uniform_hex_mesh(k1d, ky, ky)
+    vx = xl + (xr - xl) * (1 + vx) / 2
+    vy, vz = 0.5 * vy, 0.5 * vz
+    disc = build_discretization(ref_hex(n), (vx, vy, vz), etov,
+                                periodic_axes=(1, 2), dtype=dtype)
 
-    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
-                              state=dirichlet_flux_vars)])
+    u1d = shock.conservative(np.asarray(disc.x[0]).ravel(), 0.0)
+    sh = (disc.np_, disc.num_elements)
+    z = np.zeros(sh)
+    q0 = jnp.asarray(
+        np.stack([u1d[0].reshape(sh), u1d[1].reshape(sh), z, z,
+                  u1d[2].reshape(sh)]),
+        dtype=disc.wq.dtype,
+    )
 
-    def entropy_vars(d, vuf, vup, t=0.0):
-        return jnp.where(disc.bmask[None], dirichlet_entropy_vars(t), vup)
+    def embed(u):  # [3, ...] -> [5, ...]: zero y/z-momentum
+        zz = jnp.zeros_like(u[0])
+        return jnp.stack([u[0], u[1], zz, zz, u[2]])
 
-    bc.entropy_vars = entropy_vars
+    bc = _becker_dirichlet_bc(disc, shock, embed)
     return disc, q0, bc, shock

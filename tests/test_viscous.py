@@ -137,3 +137,31 @@ def test_cns_3d_periodic_entropy_balance():
     assert rt <= 1e-10
     assert abs(rt + visc) < 1e-10 * max(visc, 1.0)
     assert abs(float(aux["rhstest_visc_total"])) < 1e-10 * max(visc, 1.0)
+
+
+def test_becker_shocktube_3d_accuracy():
+    """3D extension of the Becker wave (periodic in y/z, Dirichlet in x,
+    collocated hex) stays close to the exact 1D profile — the 3D CNS
+    capability end-to-end with BCs."""
+    from esdg_cns_tpu.physics import BeckerShock
+    from esdg_cns_tpu.presets import becker_shocktube_3d
+    from esdg_cns_tpu.solvers import make_cns_rhs
+    from esdg_cns_tpu.timestepping import ssprk33
+
+    disc, q0, bc, shock = becker_shocktube_3d(n=2, k1d=10,
+                                              shock=BeckerShock())
+    rhs = make_cns_rhs(disc, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True, compute_rhstest=False)
+    t_end = 0.01
+    dt = 2.0 / (6.0 * 10 * 10)
+    ns = int(np.ceil(t_end / dt))
+    qf, _ = jax.jit(lambda q: ssprk33(rhs, q, t_end / ns, ns))(q0)
+    uq = np.asarray(jnp.einsum("ij,fjk->fik", disc.vq, qf))
+    u1d = shock.conservative(np.asarray(disc.xq[0]).ravel(), t_end)
+    w = np.asarray(disc.wjq)
+    err = np.sqrt(np.sum(w * (uq[0] - u1d[0].reshape(uq[0].shape)) ** 2))
+    norm = np.sqrt(np.sum(w * u1d[0].reshape(uq[0].shape) ** 2))
+    assert err / norm < 0.05
+    # transverse momenta stay ~0 (y/z-invariance of the wave)
+    assert np.abs(uq[2]).max() < 1e-2
+    assert np.abs(uq[3]).max() < 1e-2
