@@ -84,19 +84,22 @@ def bench_euler_hex():
 def bench_cns_cavity():
     """CNS perf config: 2D lid-driven cavity (the reference's
     performance-tuned driver, dg2D_CNS_cavity_optimized.jl), N=3 tri,
-    integrated 2-exchange RHS, f32, fixed-dt LSRK45 timing loop."""
+    integrated 2-exchange RHS with the compiled roll exchange and the
+    affine composed-operator path, f32, fixed-dt LSRK45 timing loop."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    # measured on v5e (uncontended, N=3): pallas 1.98e8 @ k1d=128 vs
-    # xla 1.38e8 @ k1d=64 DOF*stage/s -> one-hot Pallas tri kernel wins
+    # measured on v5e (N=3, K=32768): pallas fd + roll exchange 3.2e8;
+    # before the roll exchange 1.98e8; xla fd 1.38e8 DOF*stage/s
     impl = os.environ.get("BENCH_FD_IMPL", "pallas")
     if jax.devices()[0].platform == "cpu":
         k1d = int(os.environ.get("BENCH_K1D", 8))
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
 
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
-    rhs = make_cns_rhs(
+    rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
         inviscid_dissipation=True, viscous_dissipation=True,
         flux_diff_impl=impl, compute_rhstest=False,

@@ -30,7 +30,7 @@ from .ref_elem import RefElem
 
 _META = (
     "elem_type", "n", "dim", "nfaces", "num_elements", "np_", "nq", "nfq",
-    "nh", "affine", "periodic_axes", "line_ops", "grid_shape",
+    "nh", "affine", "periodic_axes", "line_ops", "grid_shape", "roll_plan",
 )
 
 
@@ -51,6 +51,8 @@ class Discretization:
     line_ops: object          # LineOps for collocated quad/hex, else None
     grid_shape: tuple         # (kz, ky, kx) for fully periodic uniform
                               # hex grids in generator order, else None
+    roll_plan: tuple          # static half of the compiled roll exchange
+                              # (ops.roll_exchange), else None
 
     # ---- reference operators (compute dtype) ----
     vq: jnp.ndarray          # [Nq, Np]
@@ -80,6 +82,7 @@ class Discretization:
     inv_sj: jnp.ndarray      # [Nfq, K]
     map_p: jnp.ndarray       # int32 [Nfq, K] flat gather indices
     bmask: jnp.ndarray       # bool [Nfq, K] true on (non-periodic) boundary
+    roll_masks: tuple        # data half of the compiled roll exchange
 
     def gather_traces(self, uf: jnp.ndarray) -> jnp.ndarray:
         """Neighbor values: uf may be [Nfq, K] or [Nf, Nfq, K].
@@ -133,6 +136,16 @@ class Discretization:
                 ))
             out = jnp.stack(outs, axis=fidx)
             return out.reshape(uf.shape)
+        if self.roll_plan is not None:
+            # compiled structured exchange: static lane rolls + masked
+            # selects instead of a generic gather (ops.roll_exchange)
+            from ..ops.roll_exchange import RollExchange
+
+            ex = RollExchange.__new__(RollExchange)
+            ex.plan = self.roll_plan
+            ex.masks = self.roll_masks
+            ex.nfp = self.nfq // self.nfaces
+            return ex(uf)
         flat = uf.reshape(*uf.shape[:-2], self.nfq * self.num_elements)
         return jnp.take(flat, self.map_p.reshape(-1), axis=-1).reshape(uf.shape)
 
@@ -245,6 +258,19 @@ def build_discretization(
         if int(np.prod(grid_shape)) != k:
             raise ValueError("grid_shape does not match element count")
 
+    # attempt the compiled roll exchange (structured grids); the fully
+    # periodic hex fast path (grid_shape) takes precedence when set
+    roll_plan, roll_masks = None, ()
+    if grid_shape is None:
+        from ..ops.roll_exchange import compile_roll_plan
+
+        rolled = compile_roll_plan(map_p_rm, ref.nfp)
+        if rolled is not None:
+            roll_plan, masks_np = rolled
+            roll_masks = tuple(
+                tuple(jnp.asarray(m) for m in fm) for fm in masks_np
+            )
+
     line_ops = None
     if ref.elem_type in ("quad", "hex") and ref.collocated:
         from ..ops.tensor_product_fd import LineOps
@@ -279,4 +305,6 @@ def build_discretization(
         sj=f(sj_np), inv_sj=f(1.0 / sj_np),
         map_p=jnp.asarray(map_p_rm),
         bmask=jnp.asarray(bmask_np),
+        roll_plan=roll_plan,
+        roll_masks=roll_masks,
     )

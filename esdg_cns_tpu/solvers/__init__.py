@@ -3,6 +3,7 @@
 from .advection import make_advection_rhs, make_wave_rhs
 from .boundary import Region, WallBC, region_from_indicator
 from .cns import make_cns_rhs, make_viscous_rhs
+from .cns_fused import make_cns_rhs_affine
 from .euler import entropy_projection, l2_error, make_euler_rhs
 
 __all__ = [
@@ -12,6 +13,7 @@ __all__ = [
     "l2_error",
     "make_advection_rhs",
     "make_cns_rhs",
+    "make_cns_rhs_affine",
     "make_euler_rhs",
     "make_viscous_rhs",
     "make_wave_rhs",

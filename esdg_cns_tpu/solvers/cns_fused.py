@@ -1,0 +1,265 @@
+"""Affine-mesh optimized CNS RHS: composed-operator formulation.
+
+The integrated CNS RHS (solvers.cns.make_cns_rhs) applies ~20 tiny
+per-stage operator GEMMs ([Np~10, Nq~12] matrices against [4, ., K]
+states); at N=3, K=32768 on one v5e chip that path is HBM/occupancy
+bound, not FLOP bound (measured 8.4 ms/stage, viscous half dominant).
+
+On AFFINE meshes the geometric factors and 1/J are per-element
+scalars, so they commute with every reference-element operator and the
+whole viscous chain can be composed at setup time:
+
+  * entropy-variable traces   Vf Pq v          -> rows of Vh Pq (free:
+    they are the face block of the entropy projection),
+  * quadrature gradient       Vq (D_r Pq v)    -> (Vq D_r Pq) v,
+  * gradient jump correction  Vq L jump        -> (Vq L) jump,
+  * projected quadrature vars Vq Pq v          -> (Vq Pq) v,
+  * stress traces             Vf Pq sigma      -> (Vf Pq) sigma,
+  * stress divergence         sum_x D_r Pq (geo sigma_x)
+                                               -> (D_r Pq) g_r.
+
+All per-stage front-end operators applied to v(U) at quadrature are
+stacked into ONE [Nh + (2+dim) Nq, Nq] GEMM, and the two LIFT
+applications (inviscid surface flux; viscous jump + penalty) ride one
+batched GEMM.  Semantics identical to make_cns_rhs (same physics
+calls, same BC hooks, same merged 2-exchange structure) — tested for
+equality to roundoff; this is purely an operator-algebra re-association
+(reference counterpart: none — dg2D_CNS_cavity_optimized.jl:447-849
+optimizes by preallocating Julia buffers instead).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.discretization import Discretization
+from ..physics import euler as phys
+from ..physics.viscous import viscous_flux_nd
+from .boundary import WallBC
+from .dg_ops import _apply
+
+
+def make_cns_rhs_affine(
+    disc: Discretization,
+    *,
+    mu: float,
+    lam: Optional[float] = None,
+    pr: float = 0.71,
+    gamma: float = phys.GAMMA,
+    bc: Optional[WallBC] = None,
+    inviscid_dissipation: bool = False,
+    viscous_dissipation: bool = False,
+    re: Optional[float] = None,
+    flux_diff_impl: str = "auto",
+    compute_rhstest: bool = True,
+    rhstest_mode: str = "native",
+    gather_fn=None,
+    psum_axis: Optional[str] = None,
+):
+    """Composed-operator CNS RHS for affine meshes (tri/quad/hex).
+
+    Same contract as solvers.cns.make_cns_rhs; requires disc.affine.
+    """
+    if not disc.affine:
+        raise ValueError("make_cns_rhs_affine requires an affine mesh")
+    from ..ops.flux_differencing import flux_differencing_xla
+    from ..utils.compensated import weighted_entropy_residual
+
+    dim = disc.dim
+    nq = disc.nq
+    nh = disc.nh
+    re = (1.0 / mu) if re is None else re
+
+    if flux_diff_impl == "auto":
+        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
+    if flux_diff_impl == "pallas":
+        from ..ops.pallas_fd import flux_differencing_pallas
+
+        fd = functools.partial(flux_differencing_pallas, nq=nq)
+    elif flux_diff_impl in ("lines", "lines_pallas"):
+        from ..ops.tensor_product_fd import (
+            flux_differencing_lines,
+            flux_differencing_lines_pallas,
+        )
+
+        if disc.line_ops is None:
+            raise ValueError("'lines' requires a collocated quad/hex mesh")
+        impl = (flux_differencing_lines_pallas
+                if flux_diff_impl == "lines_pallas"
+                else flux_differencing_lines)
+
+        def fd(qh, qlog, q_skew, geo, gamma):
+            del q_skew
+            return impl(
+                qh, qlog, geo, gamma,
+                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
+            )
+    else:
+        fd = flux_differencing_xla
+
+    adiabatic_mask = None
+    if bc is not None:
+        import numpy as np
+
+        am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
+        for r in bc.regions:
+            if r.kind == "adiabatic":
+                am |= np.asarray(r.mask)
+        adiabatic_mask = jnp.asarray(am)
+
+    gather = disc.gather_traces if gather_fn is None else gather_fn
+
+    # ---- composed operators (setup time, HIGHEST-precision products) ----
+    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b,
+                                 precision=jax.lax.Precision.HIGHEST)
+    vqpq = mm(disc.vq, disc.pq)                      # [Nq, Nq]
+    vqlift = mm(disc.vq, disc.lift)                  # [Nq, Nfq]
+    drpq = [mm(di, disc.pq) for di in disc.d]        # dim x [Np, Nq]
+    vqdrpq = [mm(disc.vq, dp) for dp in drpq]        # dim x [Nq, Nq]
+    # one front-end operator on v(U) at quadrature:
+    #   rows [0:Nh)           -> Vh Pq (entropy projection; faces = traces)
+    #   rows [Nh : Nh+Nq)     -> Vq Pq (projected entropy vars at quad)
+    #   rows [Nh+(1+r)Nq : .) -> Vq D_r Pq (projected reference gradients)
+    front = jnp.concatenate([disc.vhp, vqpq, *vqdrpq], axis=0)
+    drpq_stack = jnp.stack(drpq)                     # [dim, Np, Nq]
+
+    # affine: per-element scalars
+    inv_j = disc.inv_jac[:1]                         # [1, K]
+    geo = disc.geo                                   # [dim*dim, 1, K]
+
+    def rhs(q, t=0.0):
+        # ---- shared entropy front end: ONE GEMM ----
+        uq = _apply(disc.vq, q)
+        vu_q = phys.v_ufun(uq, gamma)
+        fr = _apply(front, vu_q)                     # [Nf, Nh+(1+dim)Nq, K]
+        vuh = fr[:, :nh]
+        vuq = fr[:, nh:nh + nq]
+        vqd = [fr[:, nh + (1 + r) * nq: nh + (2 + r) * nq] for r in range(dim)]
+        uh = phys.u_vfun(vuh, gamma)
+        vuf = vuh[:, nq:]                            # = (Vf Pq) v: traces
+
+        beta = phys.betafun(uh, gamma)
+        qh = jnp.concatenate(
+            [uh[0][None], uh[1:-1] / uh[0], beta[None]], axis=0
+        )
+        qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
+
+        # ---- ONE merged neighbor exchange (inviscid + entropy traces) ----
+        qm = qh[:, nq:, :]
+        uf = uh[:, nq:, :]
+        qm_log = qlog[:, nq:, :]
+        nf = qm.shape[0]
+        parts = [qm, uf, qm_log]
+        if inviscid_dissipation:
+            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
+            lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
+            parts.append(lam_m[None])
+        n_inv = sum(p.shape[0] for p in parts)
+        parts.append(vuf)
+        nbr = gather(jnp.concatenate(parts, axis=0))
+        qp = nbr[:nf]
+        up = nbr[nf:2 * nf]
+        qp_log = nbr[2 * nf:2 * nf + 2]
+        vup = nbr[n_inv:]
+
+        # ---- inviscid surface flux ----
+        if bc is not None:
+            qp, up = bc.inviscid(disc, qm, qp, uf, up, t)
+            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
+        else:
+            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
+        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
+        if inviscid_dissipation:
+            lam_p = nbr[n_inv - 1]
+            lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
+            flux = flux - lfc[None] * (up - uf)
+
+        # ---- inviscid volume flux differencing ----
+        qf = fd(qh, qlog, disc.q_skew, disc.geo, gamma)
+
+        # ---- viscous gradient at quadrature (composed) ----
+        if bc is not None:
+            vup = bc.entropy_vars(disc, vuf, vup, t)
+        dv = vup - vuf
+        half_jumps = jnp.stack(
+            [0.5 * dv * disc.nxj[x][None] for x in range(dim)]
+        )                                            # [dim, Nf, Nfq, K]
+        grad_surf = _apply(vqlift, half_jumps)       # [dim, Nf, Nq, K]
+        grad_q = [
+            (sum(geo[r * dim + x] * vqd[r] for r in range(dim))
+             + grad_surf[x]) * inv_j
+            for x in range(dim)
+        ]
+
+        sigma = viscous_flux_nd(vuq, grad_q, mu, lam, pr, gamma)
+
+        rhstest_visc = sum(
+            weighted_entropy_residual(disc.wjq, g, s, rhstest_mode)
+            for g, s in zip(grad_q, sigma)
+        )
+        if psum_axis is not None:
+            rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
+
+        # ---- ONE batched stress exchange; traces via (Vf Pq) ----
+        ef = disc.vhp[nq:]
+        s_f_all = _apply(ef, jnp.stack(sigma))       # [dim, Nf, Nfq, K]
+        s_f = [s_f_all[d] for d in range(dim)]
+        s_nbr = gather(s_f_all)
+        s_p = [s_nbr[d] for d in range(dim)]
+        if bc is not None:
+            s_p = bc.stress(disc, s_f, s_p, vuf, t)
+
+        # ---- viscous divergence (composed) + both LIFTs in one GEMM ----
+        g_r = jnp.stack([
+            sum(geo[r * dim + x] * sigma[x] for x in range(dim))
+            for r in range(dim)
+        ])                                           # [dim, Nf, Nq, K]
+        div = jnp.einsum("rij,rfjk->fik", drpq_stack, g_r,
+                         precision=jax.lax.Precision.HIGHEST)
+
+        jump_n = sum(
+            0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None] for x in range(dim)
+        )
+        lift_in = [flux, jump_n]
+        if viscous_dissipation:
+            # like the reference (cavity_optimized:840-846), the lifted
+            # penalty is added AFTER the 1/J scaling of dg_div
+            tau = -1.0 / (re * vuf[-1])
+            pen_rows = [jnp.zeros_like(dv[0])]
+            for d in range(dim):
+                pen_rows.append(tau * dv[1 + d])
+            if bc is not None and adiabatic_mask is not None:
+                pen_rows.append(
+                    bc.penalty_energy_rows(vuf, vup, dv, tau, adiabatic_mask)
+                )
+            else:
+                pen_rows.append(tau * dv[-1])
+            lift_in.append(jnp.stack(pen_rows))
+
+        lifted = _apply(disc.lift, jnp.stack(lift_in))
+        dq_i = -(_apply(disc.ph, qf) + lifted[0]) * inv_j[None]
+        dq_v = (div + lifted[1]) * inv_j[None]
+        if viscous_dissipation:
+            dq_v = dq_v + lifted[2]
+
+        dq = dq_i + dq_v
+        aux = {"rhstest_visc": rhstest_visc}
+        if compute_rhstest:
+            rt = weighted_entropy_residual(
+                disc.wjq, vuq, _apply(disc.vq, dq), rhstest_mode
+            )
+            rtv = weighted_entropy_residual(
+                disc.wjq, vuq, _apply(disc.vq, dq_v), rhstest_mode
+            )
+            if psum_axis is not None:
+                rt = jax.lax.psum(rt, psum_axis)
+                rtv = jax.lax.psum(rtv, psum_axis)
+            aux["rhstest"] = rt
+            aux["rhstest_visc_total"] = rtv + rhstest_visc
+        return dq, aux
+
+    return rhs
