@@ -35,53 +35,76 @@ from ..physics.euler import ec_flux_fields
 
 
 def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
-               gamma, curved):
+               nq, gamma, curved):
     qh = qh_ref[...]          # [Nf, Nh, KB]
     qlog = qlog_ref[...]      # [2, Nh, KB]
     qs = qs_ref[...]          # [dim, Nh, Nh]
     geo = geo_ref[...]        # [G, Ng, KB]
     dtype = qh.dtype
+    kb = qh.shape[2]
 
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nh, nh), 1)
 
-    qi_fields = tuple(qh[f] for f in range(nf))
-    logs_i = (qlog[0], qlog[1])
+    def make_body(rows):
+        """Accumulate rows [0, rows) against partner column j.
 
-    def body(j, acc):
-        sel_sub = (iota_sub == j).astype(dtype)        # [Nh, 1]
-        sel_lane = (iota_lane == j).astype(dtype)      # [Nh, Nh]
-        qj_fields = tuple(
-            jnp.sum(qh[f] * sel_sub, axis=0, keepdims=True) for f in range(nf)
-        )                                              # each [1, KB]
-        logs_j = tuple(
-            jnp.sum(qlog[l] * sel_sub, axis=0, keepdims=True) for l in range(2)
+        The face-face block of the skew operators is identically zero
+        (SURVEY.md 2.5 item 1b / dg2D_CNS_modalESDG.jl:246), so
+        partners j >= Nq only need the volume rows i < Nq — the second
+        loop runs on a [Nq, KB] tile instead of [Nh, KB]."""
+        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, nh), 1)
+        qi_fields = tuple(qh[f, :rows] for f in range(nf))
+        logs_i = (qlog[0, :rows], qlog[1, :rows])
+
+        def body(j, acc):
+            sel_sub = (iota_sub == j).astype(dtype)        # [Nh, 1]
+            sel_lane = (iota_lane == j).astype(dtype)      # [rows, Nh]
+            qj_fields = tuple(
+                jnp.sum(qh[f] * sel_sub, axis=0, keepdims=True)
+                for f in range(nf)
+            )                                              # each [1, KB]
+            logs_j = tuple(
+                jnp.sum(qlog[l] * sel_sub, axis=0, keepdims=True)
+                for l in range(2)
+            )
+            fluxes = ec_flux_fields(qi_fields, qj_fields, logs_i, logs_j,
+                                    gamma)
+
+            a_cols = [
+                jnp.sum(qs[r, :rows] * sel_lane, axis=1, keepdims=True)
+                for r in range(dim)
+            ]                                              # [rows, 1]
+            if curved:
+                geo_j = [
+                    jnp.sum(geo[g] * sel_sub, axis=0, keepdims=True)
+                    for g in range(dim * dim)
+                ]
+            new = []
+            for f in range(nf):
+                a = acc[f]
+                for rdir in range(dim):
+                    for xdir in range(dim):
+                        g = geo[rdir * dim + xdir]
+                        if curved:
+                            g = 0.5 * (g[:rows] + geo_j[rdir * dim + xdir])
+                        elif g.shape[0] != 1:
+                            g = g[:rows]
+                        a = a + (a_cols[rdir] * g) * fluxes[xdir][f]
+                new.append(a)
+            return tuple(new)
+
+        return body
+
+    acc0 = tuple(jnp.zeros((nh, kb), dtype) for _ in range(nf))
+    acc = jax.lax.fori_loop(0, nq, make_body(nh), acc0)
+    if nq < nh:
+        accv0 = tuple(jnp.zeros((nq, kb), dtype) for _ in range(nf))
+        accv = jax.lax.fori_loop(nq, nh, make_body(nq), accv0)
+        pad = jnp.zeros((nh - nq, kb), dtype)
+        acc = tuple(
+            acc[f] + jnp.concatenate([accv[f], pad], axis=0)
+            for f in range(nf)
         )
-        fluxes = ec_flux_fields(qi_fields, qj_fields, logs_i, logs_j, gamma)
-
-        a_cols = [
-            jnp.sum(qs[r] * sel_lane, axis=1, keepdims=True)   # [Nh, 1]
-            for r in range(dim)
-        ]
-        if curved:
-            geo_j = [
-                jnp.sum(geo[g] * sel_sub, axis=0, keepdims=True)
-                for g in range(dim * dim)
-            ]
-        new = []
-        for f in range(nf):
-            a = acc[f]
-            for rdir in range(dim):
-                for xdir in range(dim):
-                    g = geo[rdir * dim + xdir]
-                    if curved:
-                        g = 0.5 * (g + geo_j[rdir * dim + xdir])
-                    a = a + (a_cols[rdir] * g) * fluxes[xdir][f]
-            new.append(a)
-        return tuple(new)
-
-    acc0 = tuple(jnp.zeros(qh.shape[1:], dtype) for _ in range(nf))
-    acc = jax.lax.fori_loop(0, nh, body, acc0)
     for f in range(nf):
         out_ref[f] = 2.0 * acc[f]
 
@@ -96,10 +119,9 @@ def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
     Args:
       qh:   [Nf, Nh, K]; qlog: [2, Nh, K]; q_skew: tuple of [Nh, Nh];
       geo:  [dim*dim, Ng, K], Ng in {1, Nh}.
-      nq:   volume quadrature point count (interface parity with a
-            future face-face-skipping variant).
+      nq:   volume quadrature point count — partners j >= nq skip the
+            identically-zero face-face block (~25% of the pair work).
     """
-    del nq
     nf, nh, k = qh.shape
     dim = len(q_skew)
     curved = geo.shape[1] != 1
@@ -115,7 +137,7 @@ def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
     ng = geo.shape[1]
 
     kernel = functools.partial(
-        _fd_kernel, dim=dim, nf=nf, nh=nh, gamma=gamma, curved=curved
+        _fd_kernel, dim=dim, nf=nf, nh=nh, nq=nq, gamma=gamma, curved=curved
     )
     out = pl.pallas_call(
         kernel,
