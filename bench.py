@@ -98,11 +98,15 @@ def bench_cns_cavity():
 
     from esdg_cns_tpu.solvers import make_cns_rhs_affine
 
+    volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "fused")
+    if jax.devices()[0].platform == "cpu":
+        volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "xla")
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
         inviscid_dissipation=True, viscous_dissipation=True,
-        flux_diff_impl=impl, compute_rhstest=False,
+        flux_diff_impl=impl, volume_impl=volume_impl,
+        compute_rhstest=False,
     )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 4 * disc.np_ * disc.num_elements

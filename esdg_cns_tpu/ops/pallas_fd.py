@@ -34,77 +34,71 @@ from jax.experimental.pallas import tpu as pltpu
 from ..physics.euler import ec_flux_fields
 
 
+def triangular_fd(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved):
+    """Skew-symmetric flux differencing on VMEM values, pair work halved.
+
+    The partner loop is UNROLLED so every slice is static (Mosaic
+    allows static sublane slicing of values; no one-hot extraction is
+    needed at all), and each two-point flux F_ij is evaluated once for
+    i < j: the row-i contributions accumulate directly, the row-j
+    contribution is the negated column sum (A_ji = -A_ij, the
+    reference's halving trick dg2D_CNS_modalESDG.jl:250-254).  Partners
+    j >= nq restrict i < nq (zero face-face block, reference :246),
+    so the pair count is nq(nq-1)/2 + nq(nh-nq) — 37% of the naive
+    nh^2 at Nh = 2 Nq.
+
+    Args:
+      qh:   tuple of nf [Nh, KB] flux-variable values;
+      qlog: tuple of 2 [Nh, KB] (log rho, log beta);
+      qs:   [dim, Nh, Nh] skew operators (value);
+      geo:  [dim*dim, Ng, KB] metric terms (Ng = 1 affine, Nh curved).
+    Returns list of nf [Nh, KB] accumulators (the un-doubled QF).
+    """
+    nf = len(qh)
+    kb = qh[0].shape[1]
+    dtype = qh[0].dtype
+    acc = [jnp.zeros((nh, kb), dtype) for _ in range(nf)]
+    jrows = [[] for _ in range(nf)]    # row-j contributions, j = 1..nh-1
+
+    for j in range(1, nh):
+        rows = min(j, nq)
+        qi = tuple(x[:rows] for x in qh)
+        li = (qlog[0][:rows], qlog[1][:rows])
+        qj = tuple(x[j:j + 1] for x in qh)
+        lj = (qlog[0][j:j + 1], qlog[1][j:j + 1])
+        fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+        a_cols = [qs[r][:rows, j:j + 1] for r in range(dim)]
+        for f in range(nf):
+            w = None
+            for rdir in range(dim):
+                for xdir in range(dim):
+                    g = geo[rdir * dim + xdir]
+                    if curved:
+                        g = 0.5 * (g[:rows] + g[j:j + 1])
+                    elif g.shape[0] != 1:
+                        g = g[:rows]
+                    term = (a_cols[rdir] * g) * fluxes[xdir][f]
+                    w = term if w is None else w + term
+            pad = jnp.zeros((nh - rows, kb), dtype)
+            acc[f] = acc[f] + jnp.concatenate([w, pad], axis=0)
+            jrows[f].append(-jnp.sum(w, axis=0, keepdims=True))
+
+    zrow = jnp.zeros((1, kb), dtype)
+    for f in range(nf):
+        acc[f] = acc[f] + jnp.concatenate([zrow] + jrows[f], axis=0)
+    return acc
+
+
 def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
                nq, gamma, curved):
     qh = qh_ref[...]          # [Nf, Nh, KB]
     qlog = qlog_ref[...]      # [2, Nh, KB]
     qs = qs_ref[...]          # [dim, Nh, Nh]
     geo = geo_ref[...]        # [G, Ng, KB]
-    dtype = qh.dtype
-    kb = qh.shape[2]
-
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
-
-    def make_body(rows):
-        """Accumulate rows [0, rows) against partner column j.
-
-        The face-face block of the skew operators is identically zero
-        (SURVEY.md 2.5 item 1b / dg2D_CNS_modalESDG.jl:246), so
-        partners j >= Nq only need the volume rows i < Nq — the second
-        loop runs on a [Nq, KB] tile instead of [Nh, KB]."""
-        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, nh), 1)
-        qi_fields = tuple(qh[f, :rows] for f in range(nf))
-        logs_i = (qlog[0, :rows], qlog[1, :rows])
-
-        def body(j, acc):
-            sel_sub = (iota_sub == j).astype(dtype)        # [Nh, 1]
-            sel_lane = (iota_lane == j).astype(dtype)      # [rows, Nh]
-            qj_fields = tuple(
-                jnp.sum(qh[f] * sel_sub, axis=0, keepdims=True)
-                for f in range(nf)
-            )                                              # each [1, KB]
-            logs_j = tuple(
-                jnp.sum(qlog[l] * sel_sub, axis=0, keepdims=True)
-                for l in range(2)
-            )
-            fluxes = ec_flux_fields(qi_fields, qj_fields, logs_i, logs_j,
-                                    gamma)
-
-            a_cols = [
-                jnp.sum(qs[r, :rows] * sel_lane, axis=1, keepdims=True)
-                for r in range(dim)
-            ]                                              # [rows, 1]
-            if curved:
-                geo_j = [
-                    jnp.sum(geo[g] * sel_sub, axis=0, keepdims=True)
-                    for g in range(dim * dim)
-                ]
-            new = []
-            for f in range(nf):
-                a = acc[f]
-                for rdir in range(dim):
-                    for xdir in range(dim):
-                        g = geo[rdir * dim + xdir]
-                        if curved:
-                            g = 0.5 * (g[:rows] + geo_j[rdir * dim + xdir])
-                        elif g.shape[0] != 1:
-                            g = g[:rows]
-                        a = a + (a_cols[rdir] * g) * fluxes[xdir][f]
-                new.append(a)
-            return tuple(new)
-
-        return body
-
-    acc0 = tuple(jnp.zeros((nh, kb), dtype) for _ in range(nf))
-    acc = jax.lax.fori_loop(0, nq, make_body(nh), acc0)
-    if nq < nh:
-        accv0 = tuple(jnp.zeros((nq, kb), dtype) for _ in range(nf))
-        accv = jax.lax.fori_loop(nq, nh, make_body(nq), accv0)
-        pad = jnp.zeros((nh - nq, kb), dtype)
-        acc = tuple(
-            acc[f] + jnp.concatenate([accv[f], pad], axis=0)
-            for f in range(nf)
-        )
+    acc = triangular_fd(
+        tuple(qh[f] for f in range(nf)), (qlog[0], qlog[1]), qs, geo,
+        dim=dim, nq=nq, nh=nh, gamma=gamma, curved=curved,
+    )
     for f in range(nf):
         out_ref[f] = 2.0 * acc[f]
 

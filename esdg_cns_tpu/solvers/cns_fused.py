@@ -55,14 +55,24 @@ def make_cns_rhs_affine(
     viscous_dissipation: bool = False,
     re: Optional[float] = None,
     flux_diff_impl: str = "auto",
+    volume_impl: str = "xla",
     compute_rhstest: bool = True,
     rhstest_mode: str = "native",
     gather_fn=None,
     psum_axis: Optional[str] = None,
+    interpret: bool = False,
 ):
     """Composed-operator CNS RHS for affine meshes (tri/quad/hex).
 
     Same contract as solvers.cns.make_cns_rhs; requires disc.affine.
+
+    volume_impl:
+      'xla'   — stacked front-end GEMM + flux_diff_impl kernel.
+      'fused' — the whole inviscid volume stage (projection, inverse
+        map, flux differencing, Ph) plus the trace/viscous front end
+        runs as ONE Pallas kernel (ops.pallas_modal_volume);
+        flux_diff_impl is ignored.  `interpret` runs it in interpreter
+        mode (CPU tests).
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -125,20 +135,24 @@ def make_cns_rhs_affine(
     #   rows [Nh : Nh+Nq)     -> Vq Pq (projected entropy vars at quad)
     #   rows [Nh+(1+r)Nq : .) -> Vq D_r Pq (projected reference gradients)
     front = jnp.concatenate([disc.vhp, vqpq, *vqdrpq], axis=0)
+    # the fused kernel produces raw v(U) at quadrature; only the
+    # projected rows remain for XLA
+    front_q = jnp.concatenate([vqpq, *vqdrpq], axis=0)
     drpq_stack = jnp.stack(drpq)                     # [dim, Np, Nq]
 
     # affine: per-element scalars
     inv_j = disc.inv_jac[:1]                         # [1, K]
     geo = disc.geo                                   # [dim*dim, 1, K]
+    nfields = dim + 2
 
-    def rhs(q, t=0.0):
-        # ---- shared entropy front end: ONE GEMM ----
+    def front_xla(q):
         uq = _apply(disc.vq, q)
         vu_q = phys.v_ufun(uq, gamma)
         fr = _apply(front, vu_q)                     # [Nf, Nh+(1+dim)Nq, K]
         vuh = fr[:, :nh]
         vuq = fr[:, nh:nh + nq]
-        vqd = [fr[:, nh + (1 + r) * nq: nh + (2 + r) * nq] for r in range(dim)]
+        vqd = [fr[:, nh + (1 + r) * nq: nh + (2 + r) * nq]
+               for r in range(dim)]
         uh = phys.u_vfun(vuh, gamma)
         vuf = vuh[:, nq:]                            # = (Vf Pq) v: traces
 
@@ -147,11 +161,33 @@ def make_cns_rhs_affine(
             [uh[0][None], uh[1:-1] / uh[0], beta[None]], axis=0
         )
         qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
+        ph_qf = _apply(disc.ph, fd(qh, qlog, disc.q_skew, disc.geo, gamma))
+        return (qh[:, nq:, :], uh[:, nq:, :], qlog[:, nq:, :], vuf,
+                vuq, vqd, ph_qf)
+
+    def front_fused(q):
+        from ..ops.pallas_modal_volume import euler_modal_volume_pallas
+
+        ph_qf, tr, vu_q = euler_modal_volume_pallas(
+            q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph, gamma,
+            nq=nq, interpret=interpret,
+        )
+        qm = tr[:nfields]
+        uf = tr[nfields:2 * nfields]
+        qm_log = tr[2 * nfields:2 * nfields + 2]
+        vuf = tr[2 * nfields + 2:]
+        fr = _apply(front_q, vu_q)                   # [Nf, (1+dim)Nq, K]
+        vuq = fr[:, :nq]
+        vqd = [fr[:, (1 + r) * nq:(2 + r) * nq] for r in range(dim)]
+        return qm, uf, qm_log, vuf, vuq, vqd, ph_qf
+
+    front_fn = front_fused if volume_impl == "fused" else front_xla
+
+    def rhs(q, t=0.0):
+        # ---- fused entropy/volume front end ----
+        qm, uf, qm_log, vuf, vuq, vqd, ph_qf = front_fn(q)
 
         # ---- ONE merged neighbor exchange (inviscid + entropy traces) ----
-        qm = qh[:, nq:, :]
-        uf = uh[:, nq:, :]
-        qm_log = qlog[:, nq:, :]
         nf = qm.shape[0]
         parts = [qm, uf, qm_log]
         if inviscid_dissipation:
@@ -177,9 +213,6 @@ def make_cns_rhs_affine(
             lam_p = nbr[n_inv - 1]
             lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
             flux = flux - lfc[None] * (up - uf)
-
-        # ---- inviscid volume flux differencing ----
-        qf = fd(qh, qlog, disc.q_skew, disc.geo, gamma)
 
         # ---- viscous gradient at quadrature (composed) ----
         if bc is not None:
@@ -241,7 +274,7 @@ def make_cns_rhs_affine(
             lift_in.append(jnp.stack(pen_rows))
 
         lifted = _apply(disc.lift, jnp.stack(lift_in))
-        dq_i = -(_apply(disc.ph, qf) + lifted[0]) * inv_j[None]
+        dq_i = -(ph_qf + lifted[0]) * inv_j[None]
         dq_v = (div + lifted[1]) * inv_j[None]
         if viscous_dissipation:
             dq_v = dq_v + lifted[2]

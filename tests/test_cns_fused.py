@@ -34,12 +34,14 @@ def test_affine_matches_reference_path(cfg):
     flags = dict(bc=bc, inviscid_dissipation=True, viscous_dissipation=True,
                  **kw)
     dq_a, aux_a = jax.jit(make_cns_rhs(disc, **flags))(q, 0.0)
-    dq_b, aux_b = jax.jit(make_cns_rhs_affine(disc, **flags))(q, 0.0)
-    scale = float(jnp.abs(dq_a).max())
-    assert float(jnp.abs(dq_a - dq_b).max()) < 1e-11 * scale
-    for key in ("rhstest", "rhstest_visc", "rhstest_visc_total"):
-        va, vb = float(aux_a[key]), float(aux_b[key])
-        assert abs(va - vb) < 1e-9 * max(abs(va), 1.0), (key, va, vb)
+    for variant in (dict(), dict(volume_impl="fused", interpret=True)):
+        dq_b, aux_b = jax.jit(make_cns_rhs_affine(disc, **flags,
+                                                  **variant))(q, 0.0)
+        scale = float(jnp.abs(dq_a).max())
+        assert float(jnp.abs(dq_a - dq_b).max()) < 1e-10 * scale, variant
+        for key in ("rhstest", "rhstest_visc", "rhstest_visc_total"):
+            va, vb = float(aux_a[key]), float(aux_b[key])
+            assert abs(va - vb) < 1e-9 * max(abs(va), 1.0), (key, va, vb)
 
 
 def test_affine_requires_affine_mesh():
