@@ -312,14 +312,14 @@ def _hex_lines_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
                 for x in range(3)
             ]
 
-        def contract(fluxes, gj=None):
+        def contract(fluxes, gavg=None):
+            # gavg: pre-averaged (and row-sliced) metric terms for the
+            # curved path; None -> the element's affine/volume metrics
             out = []
             for f in range(nf):
                 t = None
                 for x in range(3):
-                    g = geo_d[x]
-                    if curved and gj is not None:
-                        g = 0.5 * (g + gj[x])
+                    g = geo_d[x] if gavg is None else gavg[x]
                     term = g * fluxes[x][f]
                     t = term if t is None else t + term
                 out.append(t)
@@ -330,15 +330,32 @@ def _hex_lines_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
             sl[axis] = slice(j, j + 1)
             return arr[tuple(sl)]
 
-        for ap in range(n1):
+        def axis_slice(arr, hi):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(0, hi)
+            return arr[tuple(sl)]
+
+        # triangular vol-vol line pairs (S1 skew, zero diagonal): each
+        # plane pair evaluated once, plane-ap row = negated line sum
+        for ap in range(1, n1):
+            qi = tuple(axis_slice(v, ap) for v in vol_d)
+            li = tuple(axis_slice(l, ap) for l in log_d)
             qj = tuple(line_slice(v, ap) for v in vol_d)
             lj = tuple(line_slice(l, ap) for l in log_d)
-            fluxes = ec_flux_fields(tuple(vol_d), qj, tuple(log_d), lj, gamma)
-            gj = [line_slice(g, ap) for g in geo_d] if curved else None
+            fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+            gj = ([0.5 * (axis_slice(g, ap) + line_slice(g, ap))
+                   for g in geo_d] if curved else None)
             fr = contract(fluxes, gj)
-            c = cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1)
+            c = axis_slice(cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1), ap)
+            zshape = list(shape) + [kb]
+            zshape[axis] = n1 - ap - 1
             for f in range(nf):
-                acc_vol[f] = acc_vol[f] + (c * fr[f]).reshape(nq, kb)
+                w = c * fr[f]
+                parts = [w, -jnp.sum(w, axis=axis, keepdims=True)]
+                if n1 - ap - 1:
+                    parts.append(jnp.zeros(zshape, w.dtype))
+                acc_vol[f] = acc_vol[f] + jnp.concatenate(
+                    parts, axis=axis).reshape(nq, kb)
 
         for side in range(2):
             fid = 2 * d + side
@@ -350,8 +367,8 @@ def _hex_lines_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
             fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
                                     gamma)
             if curved:
-                gj = [geo[d * 3 + x, rows].reshape(*fshape, kb)
-                      for x in range(3)]
+                gj = [0.5 * (geo_d[x] + geo[d * 3 + x, rows].reshape(
+                    *fshape, kb)) for x in range(3)]
             else:
                 gj = None
             fr = contract(fluxes, gj)
