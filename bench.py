@@ -36,7 +36,11 @@ from esdg_cns_tpu.presets import euler_hex_3d, lid_driven_cavity
 from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
 from esdg_cns_tpu.timestepping import lsrk45
 
-NORTH_STAR = 1.0e9  # DOF * RK-stage / s
+NORTH_STAR = 1.0e9      # DOF * RK-stage / s (p=3 3D Euler hex)
+CNS_ROUND1 = 1.98e8     # first recorded CNS cavity number (PARITY.md);
+                        # the cns config's vs_baseline is measured
+                        # against it (the north star is a 3D Euler
+                        # target and not meaningful for 2D CNS)
 
 
 def _time_steps(rhs, q0, steps):
@@ -78,7 +82,7 @@ def bench_euler_hex():
         )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements
-    return "dof_rk_stage_per_s", dof * 5 * steps / elapsed
+    return "dof_rk_stage_per_s", dof * 5 * steps / elapsed, NORTH_STAR
 
 
 def bench_cns_cavity():
@@ -89,18 +93,19 @@ def bench_cns_cavity():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    # measured on v5e (N=3, K=32768): pallas fd + roll exchange 3.2e8;
-    # before the roll exchange 1.98e8; xla fd 1.38e8 DOF*stage/s
+    # measured on v5e (N=3, K=32768, stacked): roll exchange 1.98e8 ->
+    # 6.5e8; triangular fd 6.5e8 -> 7.5e8; fused volume kernel ~= the
+    # xla front (7.48e8 vs 7.46e8), kept as default.  BENCH_FD_IMPL
+    # selects the fd kernel ONLY when BENCH_VOLUME_IMPL != 'fused'
+    # (the fused volume kernel contains its own flux differencing).
+    volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "fused")
     impl = os.environ.get("BENCH_FD_IMPL", "pallas")
     if jax.devices()[0].platform == "cpu":
         k1d = int(os.environ.get("BENCH_K1D", 8))
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
+        volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "xla")
 
     from esdg_cns_tpu.solvers import make_cns_rhs_affine
-
-    volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "fused")
-    if jax.devices()[0].platform == "cpu":
-        volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "xla")
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
@@ -110,20 +115,20 @@ def bench_cns_cavity():
     )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 4 * disc.np_ * disc.num_elements
-    return "cns_dof_rk_stage_per_s", dof * 5 * steps / elapsed
+    return "cns_dof_rk_stage_per_s", dof * 5 * steps / elapsed, CNS_ROUND1
 
 
 def main():
     config = os.environ.get("BENCH_CONFIG", "euler_hex")
     if config == "cns_cavity":
-        metric, value = bench_cns_cavity()
+        metric, value, baseline = bench_cns_cavity()
     else:
-        metric, value = bench_euler_hex()
+        metric, value, baseline = bench_euler_hex()
     print(json.dumps({
         "metric": metric,
         "value": value,
         "unit": "DOF*stage/s",
-        "vs_baseline": value / NORTH_STAR,
+        "vs_baseline": value / baseline,
     }))
 
 

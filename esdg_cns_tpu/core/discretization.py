@@ -139,13 +139,9 @@ class Discretization:
         if self.roll_plan is not None:
             # compiled structured exchange: static lane rolls + masked
             # selects instead of a generic gather (ops.roll_exchange)
-            from ..ops.roll_exchange import RollExchange
+            from ..ops.roll_exchange import apply_roll_plan
 
-            ex = RollExchange.__new__(RollExchange)
-            ex.plan = self.roll_plan
-            ex.masks = self.roll_masks
-            ex.nfp = self.nfq // self.nfaces
-            return ex(uf)
+            return apply_roll_plan(self.roll_plan, self.roll_masks, uf)
         flat = uf.reshape(*uf.shape[:-2], self.nfq * self.num_elements)
         return jnp.take(flat, self.map_p.reshape(-1), axis=-1).reshape(uf.shape)
 

@@ -103,7 +103,11 @@ def assemble_global_sbp_2d(disc, dtol: float = 1e-12):
     node_g = map_p // k                        # [Nfq, K]
     elem_g = map_p % k
     aa, ee = np.meshgrid(np.arange(nfq), np.arange(k), indexing="ij")
-    interior = elem_g != ee                    # skip boundary self-maps
+    # skip only true boundary self-maps (mapP == self).  An element can
+    # be its OWN neighbor through a periodic wrap (one-element-wide
+    # direction): elem_g == ee with node_g != aa is then a genuine face
+    # coupling that must be kept.
+    interior = (elem_g != ee) | (node_g != aa)
     a_i, e_i = aa[interior], ee[interior]
     rows = e_i * nh + nq + a_i
     cols = elem_g[interior] * nh + nq + node_g[interior]

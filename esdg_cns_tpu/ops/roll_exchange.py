@@ -33,8 +33,6 @@ TPU-native re-expression.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,31 +86,17 @@ def compile_roll_plan(map_p_rm: np.ndarray, nfp: int,
     return tuple(plan), tuple(masks)
 
 
-class RollExchange:
-    """Callable with the Discretization.gather_traces contract."""
+def apply_roll_plan(plan, masks, uf: jnp.ndarray) -> jnp.ndarray:
+    """Execute a compiled plan: uf [..., Nfq, K] -> neighbor traces.
 
-    def __init__(self, plan, masks, nfp: int):
-        self.plan = plan
-        self.masks = tuple(tuple(jnp.asarray(m) for m in fm) for fm in masks)
-        self.nfp = nfp
-
-    @classmethod
-    def try_build(cls, map_p_rm, nfp: int) -> Optional["RollExchange"]:
-        out = compile_roll_plan(map_p_rm, nfp)
-        if out is None:
-            return None
-        plan, masks = out
-        return cls(plan, masks, nfp)
-
-    def __call__(self, uf: jnp.ndarray) -> jnp.ndarray:
-        """uf: [..., Nfq, K] -> neighbor traces, same shape."""
-        nfp = self.nfp
-        outs = []
-        for f, (f_plan, f_masks) in enumerate(zip(self.plan, self.masks)):
-            acc = None
-            for (perm, off), m in zip(f_plan, f_masks):
-                src = uf[..., perm, :]
-                rolled = jnp.roll(src, -off, axis=-1) if off else src
-                acc = rolled if acc is None else jnp.where(m, rolled, acc)
-            outs.append(acc)
-        return jnp.concatenate(outs, axis=-2)
+    Same contract as the generic mapP gather (and bit-identical to it:
+    tests/test_roll_exchange.py)."""
+    outs = []
+    for f_plan, f_masks in zip(plan, masks):
+        acc = None
+        for (perm, off), m in zip(f_plan, f_masks):
+            src = uf[..., perm, :]
+            rolled = jnp.roll(src, -off, axis=-1) if off else src
+            acc = rolled if acc is None else jnp.where(m, rolled, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-2)

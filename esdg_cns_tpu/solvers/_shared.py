@@ -1,0 +1,130 @@
+"""Building blocks shared by the Euler / CNS RHS builders.
+
+make_euler_rhs (euler.py), make_cns_rhs / make_viscous_rhs (cns.py)
+and make_cns_rhs_affine (cns_fused.py) assemble the same sub-stages —
+flux-differencing dispatch, the merged neighbor exchange + EC surface
+flux + LF dissipation, adiabatic-region masks and the viscous
+interface penalty rows.  They live here once so a change cannot
+silently de-synchronize paths that the tests assert are equal to
+roundoff (tests/test_cns_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+from ..physics import euler as phys
+
+
+def resolve_flux_diff(disc, flux_diff_impl: str):
+    """Select the volume flux-differencing kernel.
+
+    Returns fd(qh, qlog, q_skew, geo, gamma) -> QF [Nf, Nh, K].
+    Impls: 'auto' | 'xla' | 'pallas' | 'lines' | 'lines_pallas'.
+    """
+    from ..ops.flux_differencing import flux_differencing_xla
+
+    nq = disc.nq
+    if flux_diff_impl == "auto":
+        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
+    if flux_diff_impl == "pallas":
+        from ..ops.pallas_fd import flux_differencing_pallas
+
+        return functools.partial(flux_differencing_pallas, nq=nq)
+    if flux_diff_impl in ("lines", "lines_pallas"):
+        from ..ops.tensor_product_fd import (
+            flux_differencing_lines,
+            flux_differencing_lines_pallas,
+        )
+
+        if disc.line_ops is None:
+            raise ValueError("'lines' requires a collocated quad/hex mesh")
+        impl = (flux_differencing_lines_pallas
+                if flux_diff_impl == "lines_pallas"
+                else flux_differencing_lines)
+
+        def fd(qh, qlog, q_skew, geo, gamma):
+            del q_skew  # the Kronecker structure replaces the dense ops
+            return impl(
+                qh, qlog, geo, gamma,
+                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
+            )
+
+        return fd
+    if flux_diff_impl == "xla":
+        return flux_differencing_xla
+    raise ValueError(f"unknown flux_diff_impl: {flux_diff_impl!r}")
+
+
+def adiabatic_mask(disc, bc):
+    """bool [Nfq, K] marking adiabatic-wall regions (None without bc)."""
+    if bc is None:
+        return None
+    import numpy as np
+
+    am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
+    for r in bc.regions:
+        if r.kind == "adiabatic":
+            am |= np.asarray(r.mask)
+    return jnp.asarray(am)
+
+
+def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
+                     bc_inviscid=None, extra_parts=(), t=0.0):
+    """Merged neighbor exchange + EC surface flux + LF dissipation.
+
+    One batched exchange carries the flux-variable traces qm, the
+    conservative traces uf (for the LF term), the precomputed logs, the
+    LF wavespeed (when dissipation is on) and any caller extras (the
+    CNS paths append the entropy-variable traces so the viscous
+    gradient rides the same exchange — SURVEY.md 3.3 compression of the
+    reference's 3 exchanges).
+
+    Returns (flux [Nf, Nfq, K] ready for LIFT, extras_nbr) where
+    extras_nbr is the gathered counterpart of extra_parts concatenated
+    along the field axis (empty array slice if none given).
+    """
+    dim = disc.dim
+    nf = qm.shape[0]
+    parts = [qm, uf, qm_log]
+    if dissipation:
+        rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
+        lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
+        parts.append(lam_m[None])
+    n_inv = sum(p.shape[0] for p in parts)
+    parts.extend(extra_parts)
+    nbr = gather(jnp.concatenate(parts, axis=0))
+    qp = nbr[:nf]
+    up = nbr[nf:2 * nf]
+    qp_log = nbr[2 * nf:2 * nf + 2]
+
+    if bc_inviscid is not None:
+        qp, up = bc_inviscid(disc, qm, qp, uf, up, t)
+        # ghost states may change rho/beta; recompute the ghost logs
+        fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
+    else:
+        fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
+    flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
+    if dissipation:
+        lam_p = nbr[n_inv - 1]
+        lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
+        flux = flux - lfc[None] * (up - uf)
+    return flux, nbr[n_inv:]
+
+
+def viscous_penalty_rows(disc, bc, adiab_mask, vuf, vup, dv, re):
+    """Interface penalty tau = -1/(Re v_last) rows (stacked [Nf, Nfq, K];
+    reference dg2D_CNS_cavity_optimized.jl:817-840, with the special
+    adiabatic-wall energy row via bc.penalty_energy_rows)."""
+    dim = disc.dim
+    tau = -1.0 / (re * vuf[-1])
+    rows = [jnp.zeros_like(dv[0])]
+    for d in range(dim):
+        rows.append(tau * dv[1 + d])
+    if bc is not None and adiab_mask is not None:
+        rows.append(bc.penalty_energy_rows(vuf, vup, dv, tau, adiab_mask))
+    else:
+        rows.append(tau * dv[-1])
+    return jnp.stack(rows)

@@ -46,19 +46,11 @@ def make_viscous_rhs(
 ):
     """Build the BR1 viscous RHS; rhs(q, t) -> (dq, aux with
     'rhstest_visc' = the (sign-definite) viscous entropy production)."""
+    from ._shared import adiabatic_mask, viscous_penalty_rows
+
     dim = disc.dim
     re = (1.0 / mu) if re is None else re
-
-    adiabatic_mask = None
-    if bc is not None:
-        import numpy as np
-
-        am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
-        for r in bc.regions:
-            if r.kind == "adiabatic":
-                am |= np.asarray(r.mask)
-        adiabatic_mask = jnp.asarray(am)
-
+    adiab = adiabatic_mask(disc, bc)
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
     def rhs(q, t=0.0):
@@ -96,18 +88,8 @@ def make_viscous_rhs(
 
         if dissipation:
             # interface penalty tau = -1/(Re v4) (cavity_optimized:817-840)
-            tau = -1.0 / (re * vuf[-1])
-            dv = vup - vuf
-            pen_rows = [jnp.zeros_like(dv[0])]
-            for d in range(dim):
-                pen_rows.append(tau * dv[1 + d])
-            if bc is not None and adiabatic_mask is not None:
-                pen_rows.append(
-                    bc.penalty_energy_rows(vuf, vup, dv, tau, adiabatic_mask)
-                )
-            else:
-                pen_rows.append(tau * dv[-1])
-            pen = jnp.stack(pen_rows)
+            pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup,
+                                       vup - vuf, re)
             dq = dq + _apply(disc.lift, pen)
 
         return dq, {"rhstest_visc": rhstest_visc}
@@ -148,55 +130,22 @@ def make_cns_rhs(
 
     Returns rhs(q, t) -> (dq, aux{'rhstest', 'rhstest_visc'}).
     """
-    import functools
-
     import jax
 
-    from ..ops.flux_differencing import flux_differencing_xla
     from ..utils.compensated import weighted_entropy_residual
+    from ._shared import (
+        adiabatic_mask,
+        inviscid_surface,
+        resolve_flux_diff,
+        viscous_penalty_rows,
+    )
     from .euler import entropy_projection
 
     dim = disc.dim
     nq = disc.nq
     re = (1.0 / mu) if re is None else re
-
-    if flux_diff_impl == "auto":
-        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
-    if flux_diff_impl == "pallas":
-        from ..ops.pallas_fd import flux_differencing_pallas
-
-        fd = functools.partial(flux_differencing_pallas, nq=nq)
-    elif flux_diff_impl in ("lines", "lines_pallas"):
-        from ..ops.tensor_product_fd import (
-            flux_differencing_lines,
-            flux_differencing_lines_pallas,
-        )
-
-        if disc.line_ops is None:
-            raise ValueError("'lines' requires a collocated quad/hex mesh")
-        impl = (flux_differencing_lines_pallas
-                if flux_diff_impl == "lines_pallas"
-                else flux_differencing_lines)
-
-        def fd(qh, qlog, q_skew, geo, gamma):
-            del q_skew
-            return impl(
-                qh, qlog, geo, gamma,
-                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
-            )
-    else:
-        fd = flux_differencing_xla
-
-    adiabatic_mask = None
-    if bc is not None:
-        import numpy as np
-
-        am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
-        for r in bc.regions:
-            if r.kind == "adiabatic":
-                am |= np.asarray(r.mask)
-        adiabatic_mask = jnp.asarray(am)
-
+    fd = resolve_flux_diff(disc, flux_diff_impl)
+    adiab = adiabatic_mask(disc, bc)
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
     def rhs(q, t=0.0):
@@ -212,34 +161,12 @@ def make_cns_rhs(
         qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
 
         # ---- ONE merged neighbor exchange: inviscid + entropy traces ----
-        qm = qh[:, nq:, :]
-        uf = uh[:, nq:, :]
-        qm_log = qlog[:, nq:, :]
-        nf = qm.shape[0]
-        parts = [qm, uf, qm_log]
-        if inviscid_dissipation:
-            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
-            lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
-            parts.append(lam_m[None])
-        n_inv = sum(p.shape[0] for p in parts)
-        parts.append(vuf)
-        nbr = gather(jnp.concatenate(parts, axis=0))
-        qp = nbr[:nf]
-        up = nbr[nf:2 * nf]
-        qp_log = nbr[2 * nf:2 * nf + 2]
-        vup = nbr[n_inv:]
-
-        # ---- inviscid surface ----
-        if bc is not None:
-            qp, up = bc.inviscid(disc, qm, qp, uf, up, t)
-            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
-        else:
-            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
-        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
-        if inviscid_dissipation:
-            lam_p = nbr[n_inv - 1]
-            lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
-            flux = flux - lfc[None] * (up - uf)
+        flux, vup = inviscid_surface(
+            disc, gather, qh[:, nq:, :], uh[:, nq:, :], qlog[:, nq:, :],
+            gamma=gamma, dissipation=inviscid_dissipation,
+            bc_inviscid=bc.inviscid if bc is not None else None,
+            extra_parts=(vuf,), t=t,
+        )
         rhs_surf = _apply(disc.lift, flux)
 
         # ---- inviscid volume flux differencing ----
@@ -274,18 +201,8 @@ def make_cns_rhs(
         dq_v = dg_div(disc, sigma_m, s_f, s_p)
 
         if viscous_dissipation:
-            tau = -1.0 / (re * vuf[-1])
-            dv = vup - vuf
-            pen_rows = [jnp.zeros_like(dv[0])]
-            for d in range(dim):
-                pen_rows.append(tau * dv[1 + d])
-            if bc is not None and adiabatic_mask is not None:
-                pen_rows.append(
-                    bc.penalty_energy_rows(vuf, vup, dv, tau, adiabatic_mask)
-                )
-            else:
-                pen_rows.append(tau * dv[-1])
-            pen = jnp.stack(pen_rows)
+            pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup,
+                                       vup - vuf, re)
             dq_v = dq_v + _apply(disc.lift, pen)
 
         dq = dq_i + dq_v

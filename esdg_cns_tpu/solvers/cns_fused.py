@@ -30,7 +30,6 @@ optimizes by preallocating Julia buffers instead).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -76,51 +75,23 @@ def make_cns_rhs_affine(
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
-    from ..ops.flux_differencing import flux_differencing_xla
     from ..utils.compensated import weighted_entropy_residual
+    from ._shared import (
+        adiabatic_mask,
+        inviscid_surface,
+        resolve_flux_diff,
+        viscous_penalty_rows,
+    )
 
     dim = disc.dim
     nq = disc.nq
     nh = disc.nh
     re = (1.0 / mu) if re is None else re
 
-    if flux_diff_impl == "auto":
-        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
-    if flux_diff_impl == "pallas":
-        from ..ops.pallas_fd import flux_differencing_pallas
-
-        fd = functools.partial(flux_differencing_pallas, nq=nq)
-    elif flux_diff_impl in ("lines", "lines_pallas"):
-        from ..ops.tensor_product_fd import (
-            flux_differencing_lines,
-            flux_differencing_lines_pallas,
-        )
-
-        if disc.line_ops is None:
-            raise ValueError("'lines' requires a collocated quad/hex mesh")
-        impl = (flux_differencing_lines_pallas
-                if flux_diff_impl == "lines_pallas"
-                else flux_differencing_lines)
-
-        def fd(qh, qlog, q_skew, geo, gamma):
-            del q_skew
-            return impl(
-                qh, qlog, geo, gamma,
-                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
-            )
-    else:
-        fd = flux_differencing_xla
-
-    adiabatic_mask = None
-    if bc is not None:
-        import numpy as np
-
-        am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
-        for r in bc.regions:
-            if r.kind == "adiabatic":
-                am |= np.asarray(r.mask)
-        adiabatic_mask = jnp.asarray(am)
-
+    # the fused volume kernel contains its own flux differencing
+    fd = (None if volume_impl == "fused"
+          else resolve_flux_diff(disc, flux_diff_impl))
+    adiab = adiabatic_mask(disc, bc)
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
     # ---- composed operators (setup time, HIGHEST-precision products) ----
@@ -130,14 +101,16 @@ def make_cns_rhs_affine(
     vqlift = mm(disc.vq, disc.lift)                  # [Nq, Nfq]
     drpq = [mm(di, disc.pq) for di in disc.d]        # dim x [Np, Nq]
     vqdrpq = [mm(disc.vq, dp) for dp in drpq]        # dim x [Nq, Nq]
-    # one front-end operator on v(U) at quadrature:
-    #   rows [0:Nh)           -> Vh Pq (entropy projection; faces = traces)
-    #   rows [Nh : Nh+Nq)     -> Vq Pq (projected entropy vars at quad)
-    #   rows [Nh+(1+r)Nq : .) -> Vq D_r Pq (projected reference gradients)
-    front = jnp.concatenate([disc.vhp, vqpq, *vqdrpq], axis=0)
-    # the fused kernel produces raw v(U) at quadrature; only the
-    # projected rows remain for XLA
-    front_q = jnp.concatenate([vqpq, *vqdrpq], axis=0)
+    if volume_impl == "fused":
+        # the fused kernel produces raw v(U) at quadrature; only the
+        # projected rows remain for XLA
+        front = jnp.concatenate([vqpq, *vqdrpq], axis=0)
+    else:
+        # one front-end operator on v(U) at quadrature:
+        #   rows [0:Nh)         -> Vh Pq (entropy projection; faces = traces)
+        #   rows [Nh : Nh+Nq)   -> Vq Pq (projected entropy vars at quad)
+        #   rows [Nh+(1+r)Nq:.) -> Vq D_r Pq (projected reference gradients)
+        front = jnp.concatenate([disc.vhp, vqpq, *vqdrpq], axis=0)
     drpq_stack = jnp.stack(drpq)                     # [dim, Np, Nq]
 
     # affine: per-element scalars
@@ -176,7 +149,7 @@ def make_cns_rhs_affine(
         uf = tr[nfields:2 * nfields]
         qm_log = tr[2 * nfields:2 * nfields + 2]
         vuf = tr[2 * nfields + 2:]
-        fr = _apply(front_q, vu_q)                   # [Nf, (1+dim)Nq, K]
+        fr = _apply(front, vu_q)                     # [Nf, (1+dim)Nq, K]
         vuq = fr[:, :nq]
         vqd = [fr[:, (1 + r) * nq:(2 + r) * nq] for r in range(dim)]
         return qm, uf, qm_log, vuf, vuq, vqd, ph_qf
@@ -187,32 +160,13 @@ def make_cns_rhs_affine(
         # ---- fused entropy/volume front end ----
         qm, uf, qm_log, vuf, vuq, vqd, ph_qf = front_fn(q)
 
-        # ---- ONE merged neighbor exchange (inviscid + entropy traces) ----
-        nf = qm.shape[0]
-        parts = [qm, uf, qm_log]
-        if inviscid_dissipation:
-            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
-            lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
-            parts.append(lam_m[None])
-        n_inv = sum(p.shape[0] for p in parts)
-        parts.append(vuf)
-        nbr = gather(jnp.concatenate(parts, axis=0))
-        qp = nbr[:nf]
-        up = nbr[nf:2 * nf]
-        qp_log = nbr[2 * nf:2 * nf + 2]
-        vup = nbr[n_inv:]
-
-        # ---- inviscid surface flux ----
-        if bc is not None:
-            qp, up = bc.inviscid(disc, qm, qp, uf, up, t)
-            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
-        else:
-            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
-        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
-        if inviscid_dissipation:
-            lam_p = nbr[n_inv - 1]
-            lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
-            flux = flux - lfc[None] * (up - uf)
+        # ---- ONE merged exchange (inviscid + entropy traces) + surface --
+        flux, vup = inviscid_surface(
+            disc, gather, qm, uf, qm_log,
+            gamma=gamma, dissipation=inviscid_dissipation,
+            bc_inviscid=bc.inviscid if bc is not None else None,
+            extra_parts=(vuf,), t=t,
+        )
 
         # ---- viscous gradient at quadrature (composed) ----
         if bc is not None:
@@ -261,17 +215,9 @@ def make_cns_rhs_affine(
         if viscous_dissipation:
             # like the reference (cavity_optimized:840-846), the lifted
             # penalty is added AFTER the 1/J scaling of dg_div
-            tau = -1.0 / (re * vuf[-1])
-            pen_rows = [jnp.zeros_like(dv[0])]
-            for d in range(dim):
-                pen_rows.append(tau * dv[1 + d])
-            if bc is not None and adiabatic_mask is not None:
-                pen_rows.append(
-                    bc.penalty_energy_rows(vuf, vup, dv, tau, adiabatic_mask)
-                )
-            else:
-                pen_rows.append(tau * dv[-1])
-            lift_in.append(jnp.stack(pen_rows))
+            lift_in.append(
+                viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, re)
+            )
 
         lifted = _apply(disc.lift, jnp.stack(lift_in))
         dq_i = -(ph_qf + lifted[0]) * inv_j[None]

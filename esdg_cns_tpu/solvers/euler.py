@@ -21,14 +21,12 @@ no scatter anywhere.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core.discretization import Discretization
-from ..ops.flux_differencing import flux_differencing_xla
 from ..physics import euler as phys
 
 Array = jnp.ndarray
@@ -98,34 +96,10 @@ def make_euler_rhs(
 
     Returns rhs(q) -> (dq/dt [Nf, Np, K], aux dict with 'rhstest').
     """
+    from ._shared import inviscid_surface, resolve_flux_diff
+
     nq = disc.nq
-    if flux_diff_impl == "auto":
-        flux_diff_impl = "lines" if disc.line_ops is not None else "xla"
-    if flux_diff_impl == "pallas":
-        from ..ops.pallas_fd import flux_differencing_pallas
-
-        fd = functools.partial(flux_differencing_pallas, nq=nq)
-    elif flux_diff_impl in ("lines", "lines_pallas"):
-        from ..ops.tensor_product_fd import (
-            flux_differencing_lines,
-            flux_differencing_lines_pallas,
-        )
-
-        if disc.line_ops is None:
-            raise ValueError("'lines' requires a collocated quad/hex mesh")
-        impl = (flux_differencing_lines_pallas
-                if flux_diff_impl == "lines_pallas"
-                else flux_differencing_lines)
-
-        def fd(qh, qlog, q_skew, geo, gamma):
-            del q_skew  # the Kronecker structure replaces the dense ops
-            return impl(
-                qh, qlog, geo, gamma,
-                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
-            )
-    else:
-        fd = flux_differencing_xla
-
+    fd = resolve_flux_diff(disc, flux_diff_impl)
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
     def rhs(q: Array, t: float = 0.0):
@@ -137,31 +111,10 @@ def make_euler_rhs(
         qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[-1])])
 
         # --- face traces + one batched neighbor exchange ---
-        qm = qh[:, nq:, :]
-        uf = uh[:, nq:, :]
-        qm_log = qlog[:, nq:, :]
-        nfields = qm.shape[0]
-        parts = [qm, uf, qm_log]
-        if dissipation:
-            rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(disc.dim))
-            lam = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
-            parts.append(lam[None])
-        nbr = gather(jnp.concatenate(parts, axis=0))
-        qp = nbr[:nfields]
-        up = nbr[nfields:2 * nfields]
-        qp_log = nbr[2 * nfields:2 * nfields + 2]
-
-        if bc_fun is not None:
-            qp, up = bc_fun(disc, qm, qp, uf, up, t)
-            # ghost states may change rho/beta; recompute logs
-            fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
-        else:
-            fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
-        flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
-        if dissipation:
-            lam_p = nbr[2 * nfields + 2]
-            lfc = 0.25 * jnp.maximum(lam, lam_p) * disc.sj
-            flux = flux - lfc[None] * (up - uf)
+        flux, _ = inviscid_surface(
+            disc, gather, qh[:, nq:, :], uh[:, nq:, :], qlog[:, nq:, :],
+            gamma=gamma, dissipation=dissipation, bc_inviscid=bc_fun, t=t,
+        )
         rhs_surf = _apply(disc.lift, flux)
 
         # --- volume flux differencing ---

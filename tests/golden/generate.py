@@ -12,22 +12,26 @@ differencing, exchange or surface flux shows up as a mismatch.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_ENABLE_X64"] = "1"
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_platforms", "cpu")
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _force_cpu_x64():
+    """Only for standalone regeneration — under pytest, conftest.py owns
+    the process-global JAX config (importing this module must not
+    mutate it at collection time)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
 def cases():
+    import jax
     import jax.numpy as jnp
 
     from esdg_cns_tpu.core import build_discretization, ref_tri
@@ -65,6 +69,7 @@ def cases():
 
 
 if __name__ == "__main__":
+    _force_cpu_x64()
     data = cases()
     path = os.path.join(HERE, "euler_one_step.npz")
     np.savez_compressed(path, **data)

@@ -278,3 +278,56 @@ def test_assembled_newton_matches_matrix_free():
 
     np.testing.assert_allclose(np.asarray(qf_asm), np.asarray(qf_mf),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_global_sbp_periodic_self_neighbor():
+    """A one-element-wide periodic direction makes elements their OWN
+    neighbor through the wrap (elem_g == ee, node_g != aa): those face
+    couplings are genuine and must be assembled, not dropped as
+    boundary self-maps.  Oracle: the assembled Hadamard RHS still
+    matches make_euler_rhs."""
+    from esdg_cns_tpu.ops.jacobians import assemble_global_sbp_2d, hadamard_sum
+    from esdg_cns_tpu.physics import conservative_to_primitive_beta
+    from esdg_cns_tpu.physics.euler import ec_flux
+    from esdg_cns_tpu.solvers.euler import _apply, entropy_projection
+
+    from esdg_cns_tpu.core import ref_quad
+    from esdg_cns_tpu.mesh import uniform_quad_mesh
+
+    # one-element-wide x direction: each quad's left face wraps to its
+    # own right face (tri cells never self-pair: the wrap partner is
+    # always the cell's other triangle)
+    vx, vy, etov = uniform_quad_mesh(1, 2)
+    disc = build_discretization(ref_quad(2), (vx, vy), etov,
+                                periodic_axes=(0, 1))
+    k, nh = disc.num_elements, disc.nh
+    ax, ay, bx, by, b = assemble_global_sbp_2d(disc)
+    # wrap couplings exist: some off-diagonal within-element-block face
+    # entries (row and col in the same element's face rows)
+    qx = 2.0 * (ax + bx)
+    assert abs((qx + qx.T)).max() < 1e-12      # global skew-symmetry
+    qy = 2.0 * (ay + by)
+    qx, qy = jnp.asarray(qx.toarray()), jnp.asarray(qy.toarray())
+
+    rng = np.random.default_rng(2)
+    sh = (disc.np_, k)
+    q = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    _, uh = entropy_projection(disc, q, 1.4)
+    u = jnp.asarray(np.transpose(np.asarray(uh), (0, 2, 1)).reshape(4, -1))
+
+    def fdir(d):
+        def f(ui, uj):
+            return ec_flux(conservative_to_primitive_beta(ui),
+                           conservative_to_primitive_beta(uj))[d]
+        return f
+
+    r = hadamard_sum(qx, fdir(0), u) + hadamard_sum(qy, fdir(1), u)
+    r = jnp.asarray(np.transpose(np.asarray(r).reshape(4, k, nh), (0, 2, 1)))
+    dq = -_apply(disc.ph, r) * disc.inv_jac[None]
+    dq_ref, _ = make_euler_rhs(disc, dissipation=False)(q)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=1e-11, atol=1e-11)
