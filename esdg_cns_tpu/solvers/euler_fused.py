@@ -41,7 +41,8 @@ def make_euler_rhs_fused(
     budget (raised to 100 MB via compiler params) and the resulting
     register/VMEM pressure makes the kernel slower than the XLA
     line-sparse path — measured on v5e at N=4, K=4096, f32:
-    lines 7.7e8 vs fused 4.4e8 DOF*RK-stage/s.  The builder therefore
+    lines 8.4e8 vs fused 5.6e8 DOF*RK-stage/s (with triangular
+    pairs; 7.7e8 vs 4.4e8 before them).  The builder therefore
     defaults to the faster lines path for N >= 4; pass force_fused=True
     to keep the Pallas kernels regardless."""
     if disc.elem_type != "hex" or disc.line_ops is None:
