@@ -125,6 +125,43 @@ def lid_driven_cavity(n: int = 3, k1d: int = 16, bctype: str = "isothermal",
     return disc, q0, bc, params
 
 
+def lid_driven_cavity_3d(n: int = 2, k1d: int = 8,
+                         bctype: str = "isothermal", ma: float = 0.3,
+                         re: float = 100.0, gamma: float = 1.4, dtype=None):
+    """3D CNS lid-driven cavity on [-1,1]^3: lid at z=1 moving in +x,
+    all other faces no-slip walls.  Capability beyond the reference
+    (2D-only); the wall-BC machinery (solvers.boundary) is
+    dimension-generic, so this composes the same pieces as
+    lid_driven_cavity on a collocated hex mesh.
+
+    Returns (disc, q0, bc, params dict).
+    """
+    vx, vy, vz, etov = uniform_hex_mesh(k1d)
+    disc = build_discretization(ref_hex(n), (vx, vy, vz), etov, dtype=dtype)
+
+    tol = 1e-10
+    theta = (1.0 / (ma * ma * gamma * (gamma - 1.0))
+             if bctype == "isothermal" else None)
+    lid = region_from_indicator(
+        disc, lambda x, y, z: np.abs(z - 1) < tol, bctype,
+        u_wall=(1.0, 0.0, 0.0), theta=theta,
+    )
+    walls = region_from_indicator(
+        disc, lambda x, y, z: np.abs(z - 1) >= tol, bctype,
+        u_wall=(0.0, 0.0, 0.0), theta=theta,
+    )
+    bc = WallBC(disc, [lid, walls])
+
+    sh = (disc.np_, disc.num_elements)
+    f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)
+    q0 = primitive_to_conservative(
+        f(np.ones(sh)), f(np.zeros((3, *sh))),
+        f(np.full(sh, 1.0 / (ma * ma * gamma))), gamma,
+    )
+    params = dict(mu=1.0 / re, pr=0.71, re=re, gamma=gamma, ma=ma)
+    return disc, q0, bc, params
+
+
 def becker_shocktube_2d(n: int = 2, k1d: int = 16, xl: float = -2.0,
                         xr: float = 2.0, shock: BeckerShock = None,
                         dtype=None):

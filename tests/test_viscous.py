@@ -165,3 +165,29 @@ def test_becker_shocktube_3d_accuracy():
     # transverse momenta stay ~0 (y/z-invariance of the wave)
     assert np.abs(uq[2]).max() < 1e-2
     assert np.abs(uq[3]).max() < 1e-2
+
+
+@pytest.mark.parametrize("bctype", ["isothermal", "adiabatic"])
+def test_cavity_3d_entropy_stability(bctype):
+    """3D lid-driven cavity (capability beyond the 2D-only reference):
+    short SSPRK33 run stays finite, the semi-discrete entropy balance
+    is nonpositive along the flow, and viscous production is
+    nonnegative."""
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+    from esdg_cns_tpu.solvers import make_cns_rhs
+    from esdg_cns_tpu.timestepping import ssprk33
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=3, bctype=bctype)
+    rhs = make_cns_rhs(disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+                       inviscid_dissipation=True, viscous_dissipation=True)
+    dt = 2e-4
+    qf, _ = jax.jit(lambda q: ssprk33(rhs, q, dt, 20))(q0)
+    assert np.isfinite(np.asarray(qf)).all()
+    _, aux = jax.jit(rhs)(qf, 0.0)
+    assert float(aux["rhstest"]) < 1e-10
+    assert float(aux["rhstest_visc"]) >= 0.0
+    # the lid drags fluid: x-momentum appears near the lid
+    zq = np.asarray(disc.xq[2])
+    mom_x = np.asarray(jnp.einsum("ij,jk->ik", disc.vq, qf[1]))
+    near_lid = zq > 0.75
+    assert mom_x[near_lid].mean() > 0
