@@ -65,6 +65,24 @@ def cases():
     out["hex_euler_q0"] = np.asarray(q03)
     out["hex_euler_qf"] = np.asarray(qf3)
     out["hex_euler_rhstest"] = np.asarray(aux3["rhstest"])
+
+    # CNS cavity: one LSRK45 step pins the integrated 2-exchange CNS
+    # semantics (entropy projection, BR1 gradient/divergence, wall BC
+    # ghosts, viscous penalty) against silent drift
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_cns_rhs
+
+    disc_c, q0c, bc, p = lid_driven_cavity(n=2, k1d=4)
+    q0c = q0c + 1e-3 * jnp.asarray(
+        np.random.default_rng(1).standard_normal(q0c.shape)
+    ) * jnp.asarray([1.0, 0.1, 0.1, 1.0])[:, None, None]
+    rhs_c = make_cns_rhs(disc_c, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+                         inviscid_dissipation=True, viscous_dissipation=True)
+    qfc, auxc = jax.jit(lambda q: lsrk45(rhs_c, q, 1e-3, 1))(q0c)
+    out["cns_cavity_q0"] = np.asarray(q0c)
+    out["cns_cavity_qf"] = np.asarray(qfc)
+    out["cns_cavity_rhstest"] = np.asarray(auxc["rhstest"])
+    out["cns_cavity_rhstest_visc"] = np.asarray(auxc["rhstest_visc"])
     return out
 
 
