@@ -48,3 +48,103 @@ def velocity_magnitude_squared(q):
     cavity driver's plotted observable, :1068)."""
     q = np.asarray(q)
     return sum((q[1 + d] / q[0]) ** 2 for d in range(q.shape[0] - 2))
+
+
+def _reference_subcells(disc):
+    """Subcell connectivity of one element's plot nodes.
+
+    Uses element 0's physical plot coordinates: on every mesh here they
+    are an affine image of the reference equi-spaced plot set, so their
+    Delaunay topology is valid for all elements.  1D: consecutive
+    segments (VTK_LINE); 2D: triangles (VTK_TRIANGLE); 3D: tetrahedra
+    (VTK_TETRA).  Returns (cells [ncell, nverts], vtk_type).
+    """
+    pts = np.stack(
+        [np.einsum("ij,j->i", np.asarray(disc.vp), np.asarray(c)[:, 0])
+         for c in disc.x],
+        axis=1,
+    )
+    if disc.dim == 1:
+        order = np.argsort(pts[:, 0])
+        return np.stack([order[:-1], order[1:]], axis=1), 3
+    from scipy.spatial import Delaunay
+
+    cells = Delaunay(pts).simplices
+    if disc.dim == 2:
+        a, b, c = (pts[cells[:, i]] for i in range(3))
+        area = 0.5 * np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])
+        )
+        return cells[area > 1e-12], 5
+    return cells, 10
+
+
+def write_vtu(path: str, disc, fields: Dict[str, np.ndarray]):
+    """Write a ParaView-readable VTK XML UnstructuredGrid (.vtu).
+
+    Each field is a nodal array [Np, K]; fields are interpolated to the
+    equi-spaced plot nodes and the elements are subdivided into linear
+    VTK cells (segments / triangles / tetrahedra).  Plain-text XML, no
+    external dependencies — the TPU-era counterpart of the reference's
+    MATLAB text dumps (plot_cavity.m).
+    """
+    vp = np.asarray(disc.vp)
+    npp = vp.shape[0]
+    k = disc.num_elements
+    coords = [np.einsum("ij,jk->ik", vp, np.asarray(c)) for c in disc.x]
+    while len(coords) < 3:
+        coords.append(np.zeros_like(coords[0]))
+    # element-major point layout: point id = e * npp + i
+    pts = np.stack([c.T.reshape(-1) for c in coords], axis=1)  # [K*npp, 3]
+
+    ref_cells, vtk_type = _reference_subcells(disc)
+    ncell_ref, nverts = ref_cells.shape
+    cells = (ref_cells[None, :, :] + (np.arange(k) * npp)[:, None, None])
+    cells = cells.reshape(-1, nverts)
+
+    data = {}
+    for name, f in fields.items():
+        fp = np.einsum("ij,jk->ik", vp, np.asarray(f))
+        data[name] = fp.T.reshape(-1)
+
+    npts, ncells = pts.shape[0], cells.shape[0]
+    fmt = lambda a: "\n".join(
+        " ".join(f"{v:.10g}" for v in row) for row in np.atleast_2d(a)
+    )
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="0.1" '
+        'byte_order="LittleEndian">',
+        "<UnstructuredGrid>",
+        f'<Piece NumberOfPoints="{npts}" NumberOfCells="{ncells}">',
+        "<Points>",
+        '<DataArray type="Float64" NumberOfComponents="3" format="ascii">',
+        fmt(pts),
+        "</DataArray>",
+        "</Points>",
+        "<Cells>",
+        '<DataArray type="Int64" Name="connectivity" format="ascii">',
+        fmt(cells),
+        "</DataArray>",
+        '<DataArray type="Int64" Name="offsets" format="ascii">',
+        fmt(np.arange(1, ncells + 1)[:, None] * nverts),
+        "</DataArray>",
+        '<DataArray type="UInt8" Name="types" format="ascii">',
+        fmt(np.full((ncells, 1), vtk_type)),
+        "</DataArray>",
+        "</Cells>",
+        "<PointData>",
+    ]
+    for name, arr in data.items():
+        lines += [
+            f'<DataArray type="Float64" Name="{name}" format="ascii">',
+            fmt(arr[:, None]),
+            "</DataArray>",
+        ]
+    lines += ["</PointData>", "</Piece>", "</UnstructuredGrid>", "</VTKFile>"]
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    return path
