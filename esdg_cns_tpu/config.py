@@ -48,7 +48,11 @@ class SimConfig:
     # scheme
     inviscid_dissipation: bool = True
     viscous_dissipation: bool = False
-    flux_diff_impl: str = "auto"
+    flux_diff_impl: str = "auto"  # auto|xla|lines|lines_pallas|pallas|fused
+    cns_volume_impl: str = "auto"  # CNS on affine meshes: auto|xla|fused
+                                   # ('auto' = composed-operator affine path
+                                   # when applicable, else the generic RHS)
+    rhstest_mode: str = "native"   # native|compensated|f64 diagnostics
 
     # stepping
     stepper: str = "lsrk45"          # lsrk45|ssprk33|dopri45|implicit_midpoint
@@ -117,24 +121,43 @@ def build_problem(cfg: SimConfig, bc=None):
                 raise ValueError("fused path supports periodic meshes only")
             return disc, make_euler_rhs_fused(
                 disc, gamma=cfg.gamma, dissipation=cfg.inviscid_dissipation,
+                rhstest_mode=cfg.rhstest_mode,
             )
         rhs = make_euler_rhs(
             disc, gamma=cfg.gamma, dissipation=cfg.inviscid_dissipation,
             flux_diff_impl=cfg.flux_diff_impl,
+            rhstest_mode=cfg.rhstest_mode,
             bc_fun=(None if bc is None else
                     (lambda d, qm, qp, um, up, t: bc.inviscid(d, qm, qp, um, up, t))),
         )
     elif cfg.equation == "cns":
-        from .solvers import make_cns_rhs
+        from .solvers import make_cns_rhs, make_cns_rhs_affine
 
         mu = cfg.mu if cfg.mu is not None else 1.0 / cfg.reynolds
-        rhs = make_cns_rhs(
-            disc, mu=mu, lam=cfg.lam, pr=cfg.prandtl, gamma=cfg.gamma,
+        kw = dict(
+            mu=mu, lam=cfg.lam, pr=cfg.prandtl, gamma=cfg.gamma,
             bc=bc, re=cfg.reynolds,
             inviscid_dissipation=cfg.inviscid_dissipation,
             viscous_dissipation=cfg.viscous_dissipation,
-            flux_diff_impl=cfg.flux_diff_impl,
+            rhstest_mode=cfg.rhstest_mode,
         )
+        if cfg.cns_volume_impl != "xla" and disc.affine:
+            # production path: composed affine operators (+ the fused
+            # modal volume kernel unless 'auto' falls back on CPU)
+            import jax as _jax
+
+            on_tpu = _jax.devices()[0].platform == "tpu"
+            volume_impl = ("fused" if cfg.cns_volume_impl == "fused"
+                           or (cfg.cns_volume_impl == "auto" and on_tpu)
+                           else "xla")
+            rhs = make_cns_rhs_affine(
+                disc, flux_diff_impl=cfg.flux_diff_impl,
+                volume_impl=volume_impl, **kw,
+            )
+        else:
+            rhs = make_cns_rhs(
+                disc, flux_diff_impl=cfg.flux_diff_impl, **kw,
+            )
     else:
         raise ValueError(f"unknown equation {cfg.equation!r}")
     return disc, rhs
