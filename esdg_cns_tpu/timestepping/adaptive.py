@@ -40,6 +40,7 @@ class DopriState(NamedTuple):
     k1: jnp.ndarray          # FSAL stage
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
+    n_stuck: jnp.ndarray     # consecutive dt-floor rejections
     last_aux: dict
 
 
@@ -53,12 +54,22 @@ def dopri45(
     err_tol: float = 1e-5,
     dt_min: float = 1e-9,
     dt_max_factor: float = 10.0,
+    max_stuck: int = 100,
 ):
     """Integrate dq/dt = rhs(q, t) adaptively to t_end.
 
     ``rhs(q, t) -> (dq, aux)`` with aux a dict of scalars.  Returns
     (q_final, stats dict).  Jittable; the whole trajectory is one
     ``lax.while_loop``.
+
+    Robustness beyond the reference loop: a non-finite error estimate
+    (NaN state, e.g. an under-resolved shock driving the entropy
+    projection out of the admissible set) counts as a rejection with a
+    huge error instead of poisoning dt, and ``max_stuck`` consecutive
+    rejections at the dt floor bail out of the loop — the reference
+    (dg2D_CNS_cavity_optimized.jl:1026-1036) crawls at dt=1e-9 forever.
+    ``stats['stalled']`` reports the bail-out; on a stall the returned
+    state is the last accepted one.
     """
     dtype = q0.dtype
     a = jnp.asarray(_A, dtype)
@@ -80,7 +91,11 @@ def dopri45(
         err_vec = sum(e[i] * ks[i] for i in range(7))
         scale = err_tol * (1.0 + jnp.abs(s.q))
         err = jnp.sqrt(jnp.mean((dt * err_vec / scale) ** 2))
-        err = jnp.maximum(err, jnp.asarray(1e-14, dtype))
+        # non-finite estimate (NaN state): reject with a huge-but-finite
+        # error so the controller shrinks dt instead of inheriting NaN
+        err = jnp.where(jnp.isfinite(err), err, jnp.asarray(1e6, dtype))
+        err = jnp.clip(err, jnp.asarray(1e-14, dtype),
+                       jnp.asarray(1e6, dtype))
 
         accept = err < 1.0
         q = jnp.where(accept, q_new, s.q)
@@ -91,10 +106,15 @@ def dopri45(
         dtnew = dtnew * (s.prev_err / err) ** (0.3 / (order + 1))
         dtnew = jnp.clip(dtnew, dt_min, dt_max_factor * dt0)
 
+        at_floor = jnp.logical_and(~accept, dtnew <= dt_min * (1 + 1e-6))
+        n_stuck = jnp.where(accept, 0,
+                            jnp.where(at_floor, s.n_stuck + 1, s.n_stuck))
+
         return DopriState(
             q=q, t=t, dt=dtnew, prev_err=err, k1=k1,
             n_accepted=s.n_accepted + accept.astype(jnp.int32),
             n_rejected=s.n_rejected + 1 - accept.astype(jnp.int32),
+            n_stuck=n_stuck.astype(jnp.int32),
             last_aux=aux,
         )
 
@@ -107,14 +127,19 @@ def dopri45(
         k1=k1_0,
         n_accepted=jnp.asarray(0, jnp.int32),
         n_rejected=jnp.asarray(0, jnp.int32),
+        n_stuck=jnp.asarray(0, jnp.int32),
         last_aux=aux0,
     )
-    final = jax.lax.while_loop(lambda s: s.t < t_end, body, init)
+    final = jax.lax.while_loop(
+        lambda s: jnp.logical_and(s.t < t_end, s.n_stuck < max_stuck),
+        body, init,
+    )
     stats = {
         "t": final.t,
         "dt": final.dt,
         "n_accepted": final.n_accepted,
         "n_rejected": final.n_rejected,
+        "stalled": final.n_stuck >= max_stuck,
         **{k: v for k, v in final.last_aux.items()},
     }
     return final.q, stats

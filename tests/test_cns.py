@@ -128,3 +128,22 @@ def test_becker_shocktube_2d_accuracy():
     assert err / norm < 0.05
     # transverse momentum stays ~0 (y-invariance of the wave)
     assert np.abs(uq[2]).max() < 1e-2
+
+
+def test_dopri45_nan_bailout():
+    """A NaN-producing RHS must terminate quickly with stalled=True and
+    the last accepted (initial) state — not loop forever with a NaN dt
+    (the failure mode of an under-resolved shock IC)."""
+    from esdg_cns_tpu.timestepping import dopri45
+
+    def bad_rhs(q, t=0.0):
+        return jnp.full_like(q, jnp.nan), {}
+
+    q0 = jnp.ones((2, 3, 4))
+    qf, stats = jax.jit(
+        lambda q: dopri45(bad_rhs, q, 1.0, 1e-2, max_stuck=10)
+    )(q0)
+    assert bool(stats["stalled"])
+    assert float(stats["t"]) == 0.0
+    assert int(stats["n_accepted"]) == 0
+    np.testing.assert_array_equal(np.asarray(qf), np.asarray(q0))
