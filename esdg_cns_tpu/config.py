@@ -141,22 +141,28 @@ def build_problem(cfg: SimConfig, bc=None):
             viscous_dissipation=cfg.viscous_dissipation,
             rhstest_mode=cfg.rhstest_mode,
         )
+        # 'fused' is an Euler-path value (the hex volume+surface
+        # kernels); for CNS it means "let the builder decide"
+        fd_impl = ("auto" if cfg.flux_diff_impl == "fused"
+                   else cfg.flux_diff_impl)
         if cfg.cns_volume_impl != "xla" and disc.affine:
-            # production path: composed affine operators (+ the fused
-            # modal volume kernel unless 'auto' falls back on CPU)
-            import jax as _jax
-
-            on_tpu = _jax.devices()[0].platform == "tpu"
-            volume_impl = ("fused" if cfg.cns_volume_impl == "fused"
-                           or (cfg.cns_volume_impl == "auto" and on_tpu)
-                           else "xla")
+            # production path: composed affine operators; the fused
+            # modal volume kernel is designed for (and validated on)
+            # modal tri elements, on TPU ('auto') or anywhere when
+            # forced ('fused', interpreted off-TPU)
+            on_tpu = jax.devices()[0].platform == "tpu"
+            use_fused = disc.elem_type == "tri" and (
+                cfg.cns_volume_impl == "fused"
+                or (cfg.cns_volume_impl == "auto" and on_tpu)
+            )
             rhs = make_cns_rhs_affine(
-                disc, flux_diff_impl=cfg.flux_diff_impl,
-                volume_impl=volume_impl, **kw,
+                disc, flux_diff_impl=fd_impl,
+                volume_impl="fused" if use_fused else "xla",
+                interpret=use_fused and not on_tpu, **kw,
             )
         else:
             rhs = make_cns_rhs(
-                disc, flux_diff_impl=cfg.flux_diff_impl, **kw,
+                disc, flux_diff_impl=fd_impl, **kw,
             )
     else:
         raise ValueError(f"unknown equation {cfg.equation!r}")

@@ -13,8 +13,10 @@ dg1D_CNS_modalESDG.jl:268-330):
      energy row,
   6. BR1 divergence.
 
-Three face-trace exchanges per RHS (inviscid, entropy-variable and
-stress traces) — each a single XLA gather / future ppermute.
+The standalone viscous RHS uses two face-trace exchanges
+(entropy-variable and stress traces); the integrated make_cns_rhs
+merges the entropy-variable traces into the inviscid exchange for two
+total (vs the reference's three, SURVEY.md 3.3).
 """
 
 from __future__ import annotations
@@ -40,7 +42,6 @@ def make_viscous_rhs(
     bc: Optional[WallBC] = None,
     dissipation: bool = False,
     re: Optional[float] = None,
-    adiabatic_energy_penalty: bool = False,
     gather_fn=None,
     psum_axis: Optional[str] = None,
 ):

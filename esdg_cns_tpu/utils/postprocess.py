@@ -76,8 +76,12 @@ def _reference_subcells(disc):
             (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
             - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])
         )
-        return cells[area > 1e-12], 5
-    return cells, 10
+        # relative sliver filter: robust to the mesh's physical scale
+        return cells[area > 1e-9 * area.max()], 5
+    a, b, c, d = (pts[cells[:, i]] for i in range(4))
+    vol = np.abs(np.einsum(
+        "ij,ij->i", b - a, np.cross(c - a, d - a))) / 6.0
+    return cells[vol > 1e-9 * vol.max()], 10
 
 
 def write_vtu(path: str, disc, fields: Dict[str, np.ndarray]):
