@@ -108,3 +108,31 @@ def test_structured_exchange_equivalence():
     np.testing.assert_array_equal(
         np.asarray(disc.gather_traces(u)), np.asarray(plain.gather_traces(u))
     )
+
+
+def test_simconfig_cns_volume_impls_agree():
+    """The config-level CNS routing (generic / affine-xla / forced
+    fused-interpreted) produces the same RHS on a periodic tri mesh."""
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    q = None
+    outs = {}
+    for impl in ("xla", "auto", "fused"):
+        cfg = SimConfig(equation="cns", elem_type="tri", n=2, k1d=4,
+                        periodic=True, reynolds=100.0,
+                        cns_volume_impl=impl)
+        disc, rhs = build_problem(cfg)
+        if q is None:
+            sh = (disc.np_, disc.num_elements)
+            q = primitive_to_conservative(
+                jnp.asarray(2 + 0.1 * rng.random(sh)),
+                jnp.asarray(0.2 * rng.standard_normal((2, *sh))),
+                jnp.asarray(2 + 0.1 * rng.random(sh)),
+            )
+        dq, _ = jax.jit(rhs)(q, 0.0)
+        outs[impl] = np.asarray(dq)
+    scale = np.abs(outs["xla"]).max()
+    for impl in ("auto", "fused"):
+        assert np.abs(outs[impl] - outs["xla"]).max() < 1e-10 * scale, impl
