@@ -145,6 +145,15 @@ def build_problem(cfg: SimConfig, bc=None):
         # kernels); for CNS it means "let the builder decide"
         fd_impl = ("auto" if cfg.flux_diff_impl == "fused"
                    else cfg.flux_diff_impl)
+        if cfg.cns_volume_impl == "fused" and not (
+            disc.affine and disc.elem_type == "tri"
+        ):
+            # never silently downgrade an explicit request (mirrors the
+            # flux_diff_impl behavior, which raises on invalid combos)
+            raise ValueError(
+                "cns_volume_impl='fused' requires an affine tri mesh "
+                f"(got elem_type={disc.elem_type!r}, affine={disc.affine})"
+            )
         if cfg.cns_volume_impl != "xla" and disc.affine:
             # production path: composed affine operators; the fused
             # modal volume kernel is designed for (and validated on)

@@ -132,7 +132,15 @@ def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
     kb = min(block_k, k)
     pad = (-k) % kb
     if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        # pad lanes with a valid quiescent state (rho=1, mom=0, E=1, so
+        # p>0): the padded columns are sliced off afterwards, but
+        # log/pow in the kernel must stay finite on them (jax_debug_nans,
+        # and robustness against any future cross-lane op)
+        quiescent = jnp.zeros((nf,), q.dtype).at[0].set(1.0).at[-1].set(1.0)
+        q = jnp.concatenate(
+            [q, jnp.broadcast_to(quiescent[:, None, None], (nf, np_, pad))],
+            axis=-1,
+        )
         geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
     kp = k + pad
     ng = geo.shape[1]

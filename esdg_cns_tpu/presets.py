@@ -8,6 +8,9 @@ import numpy as np
 
 from .core import build_discretization, ref_hex, ref_line, ref_tri
 from .mesh import uniform_hex_mesh, uniform_line_mesh, uniform_tri_mesh
+from .physics import primitive_to_conservative
+from .physics.exact import BeckerShock
+from .solvers.boundary import Region, WallBC, region_from_indicator
 
 
 def _becker_dirichlet_bc(disc, shock, embed):
@@ -16,10 +19,7 @@ def _becker_dirichlet_bc(disc, shock, embed):
     gradient stage.  ``embed(u1d) -> [Nf, Nfq, K]`` lifts the 1D exact
     conservative state (evaluated at the face x-coordinates) to the
     problem's field count."""
-    import jax.numpy as jnp
-
     from .physics import conservative_to_primitive_beta, v_ufun
-    from .solvers.boundary import Region, WallBC
 
     xf = disc.xf[0]
 
@@ -37,9 +37,6 @@ def _becker_dirichlet_bc(disc, shock, embed):
 
     bc.entropy_vars = entropy_vars
     return bc
-from .physics import primitive_to_conservative
-from .physics.exact import BeckerShock
-from .solvers.boundary import Region, WallBC, region_from_indicator
 
 
 def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,

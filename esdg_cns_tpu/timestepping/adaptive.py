@@ -101,6 +101,11 @@ def dopri45(
         q = jnp.where(accept, q_new, s.q)
         t = jnp.where(accept, s.t + dt, s.t)
         k1 = jnp.where(accept, ks[6], s.k1)  # FSAL
+        # keep diagnostics from accepted steps only, so reported aux
+        # never comes from a rejected (possibly non-finite) evaluation
+        aux = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), aux, s.last_aux
+        )
 
         dtnew = 0.8 * dt * (0.9 / err) ** (0.4 / (order + 1))
         dtnew = dtnew * (s.prev_err / err) ** (0.3 / (order + 1))

@@ -1,6 +1,14 @@
 """Regenerate the golden one-RK-step fixtures (run deliberately only:
 the fixtures pin the semantics of the ES-DG RHS against silent drift).
 
+These are SELF-GENERATED REGRESSION PINS: they are produced by this
+repo's own f64 CPU path, not by the Julia reference (no Julia runtime
+exists in this environment), so they detect drift of our implementation
+against itself.  Cross-validation against the reference rests on exact
+solutions (vortex, Becker wave), convergence rates, and the algebraic
+property suites (SBP identities, flux symmetry/consistency/Tadmor,
+entropy balance) — see tests/test_euler_rhs.py, tests/test_cns.py.
+
 Usage: JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python tests/golden/generate.py
 
 The stored values are one f64 LSRK45 step (dt=1e-3, dissipation on) of
