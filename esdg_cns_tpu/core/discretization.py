@@ -158,6 +158,7 @@ def build_discretization(
     curved_map=None,
     dtype: Optional[jnp.dtype] = None,
     grid_shape: Optional[tuple] = None,
+    return_host: bool = False,
 ) -> Discretization:
     """Assemble the full device-resident discretization.
 
@@ -279,8 +280,24 @@ def build_discretization(
         w1 = np.asarray(ref.wq)[:n1] / w0 ** (dim - 1)
         line_ops = LineOps.make(ref.n, r1, w1)
 
+    host = None
+    if return_host:
+        # full-precision (numpy f64) copies of the operator/mesh arrays,
+        # for consumers that need better-than-compute-dtype accuracy —
+        # the df64 verification RHS (solvers.euler_df64) splits these
+        # into double-float (hi, lo) pairs.  Not part of the pytree.
+        host = {
+            "vq": ref.vq, "vf": ref.vf, "pq": ref.pq, "lift": ref.lift,
+            "d": tuple(ref.d), "q_skew": tuple(ref.q_skew),
+            "vh": ref.vh, "ph": ref.ph, "vhp": ref.vhp,
+            "wq": ref.wq, "wf": ref.wf,
+            "geo": geo_h, "geo_nodal": geo_nodal,
+            "jac": jac_np, "inv_jac": 1.0 / jac_np, "wjq": wjq_np,
+            "nxj": tuple(nxj_np), "sj": sj_np, "inv_sj": 1.0 / sj_np,
+        }
+
     f = lambda a: _to_dtype(a, dtype)
-    return Discretization(
+    disc_out = Discretization(
         elem_type=ref.elem_type, n=ref.n, dim=dim, nfaces=ref.nfaces,
         num_elements=k, np_=ref.np_, nq=ref.nq, nfq=ref.nfq, nh=ref.nh,
         affine=affine, periodic_axes=tuple(periodic_axes),
@@ -304,3 +321,4 @@ def build_discretization(
         roll_plan=roll_plan,
         roll_masks=roll_masks,
     )
+    return (disc_out, host) if return_host else disc_out

@@ -175,16 +175,20 @@ def build_halo_exchange(disc: Discretization, n_devices: int,
         send_right_per_dev.append(from_left)   # left neighbor sends these
         send_left_per_dev.append(from_right)   # right neighbor sends these
 
-    # sender d's send_right pattern = what receiver d+1 expects from left
-    send_right = send_right_per_dev[1 % n_devices]
-    send_left = send_left_per_dev[(n_devices - 1) % n_devices]
-    for d in range(n_devices):
-        if not np.array_equal(send_right_per_dev[(d + 1) % n_devices],
-                              send_right):
-            raise ValueError("non-uniform right-send pattern across devices")
-        if not np.array_equal(send_left_per_dev[(d - 1) % n_devices],
-                              send_left):
-            raise ValueError("non-uniform left-send pattern across devices")
+    # SPMD needs ONE send pattern shared by all devices: take the union
+    # of every receiver's expectation.  Periodic uniform meshes have
+    # identical per-device patterns (union is a no-op); wall-BC meshes
+    # differ at the boundary slabs (their boundary faces self-map
+    # instead of wrapping), so some union slots go unused by some
+    # receivers — harmless, they are simply never indexed by the table.
+    def _union(parts):
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.array([], np.int64)
+        return np.unique(np.concatenate(parts))
+
+    send_right = _union(send_right_per_dev)
+    send_left = _union(send_left_per_dev)
 
     n_send = max(len(send_right), len(send_left), 1)
     pad = lambda a: np.pad(a, (0, n_send - len(a)), constant_values=0)

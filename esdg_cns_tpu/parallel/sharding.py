@@ -74,33 +74,47 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
     Returns rhs(q, t=0.0) -> (dq, aux); q is the global [.., Np, K]
     state, re-sharded automatically by shard_map.
 
-    Note: wall-BC problems close over global-shaped mask arrays and are
-    not supported on this path yet — use the pjit/SPMD path
-    (shard_discretization), which partitions them automatically.
+    Wall-BC problems: a ``bc=WallBC(...)`` keyword is itself a pytree
+    whose [Nfq, K] leaves (region masks, normals, wall-velocity
+    profiles) are sharded along the element axis like every other trace
+    array, so each device applies the ghost-state hooks to its own slab.
+    Restriction: 'dirichlet' regions whose state callables close over
+    global-shaped arrays are pjit-path only (shard_discretization).
     """
     from jax import shard_map
 
     from .halo import build_halo_exchange
 
     n = mesh.shape[axis]
+    bc = kw.pop("bc", None)
+    if bc is not None:
+        for r in bc.regions:
+            if r.kind == "dirichlet":
+                raise ValueError(
+                    "dirichlet regions (global-state closures) are not "
+                    "supported under shard_map; use the pjit path "
+                    "(shard_discretization)"
+                )
     halo = build_halo_exchange(disc, n, axis)
     k = disc.num_elements
     disc_specs = partition_specs(disc, k, axis)
     halo_specs = partition_specs(halo, k, axis)
+    bc_specs = partition_specs(bc, k, axis)
     qspec = P(None, None, axis)
 
-    def fn(q, t, disc_in, halo_in):
-        rhs = builder(disc_in, gather_fn=halo_in.gather, psum_axis=axis, **kw)
+    def fn(q, t, disc_in, halo_in, bc_in):
+        rhs = builder(disc_in, gather_fn=halo_in.gather, psum_axis=axis,
+                      **(dict(bc=bc_in) if bc_in is not None else {}), **kw)
         return rhs(q, t)
 
     sm = shard_map(
         fn, mesh=mesh,
-        in_specs=(qspec, P(), disc_specs, halo_specs),
+        in_specs=(qspec, P(), disc_specs, halo_specs, bc_specs),
         out_specs=(qspec, P()),
     )
 
     def rhs(q, t=0.0):
-        return sm(q, jnp.asarray(t, q.dtype), disc, halo)
+        return sm(q, jnp.asarray(t, q.dtype), disc, halo, bc)
 
     return rhs
 
@@ -115,10 +129,19 @@ def make_sharded_euler_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
 
 def make_sharded_cns_rhs(mesh: Mesh, disc: Discretization, axis: str = "e",
                          **kw):
-    """Sharded CNS RHS, periodic problems (see make_sharded_rhs)."""
+    """Sharded CNS RHS, periodic or wall-BC (see make_sharded_rhs)."""
     from ..solvers.cns import make_cns_rhs
 
     return make_sharded_rhs(mesh, disc, make_cns_rhs, axis, **kw)
+
+
+def make_sharded_cns_rhs_affine(mesh: Mesh, disc: Discretization,
+                                axis: str = "e", **kw):
+    """Sharded composed-operator affine CNS RHS, periodic or wall-BC
+    (the production 2D/3D cavity path under shard_map)."""
+    from ..solvers.cns_fused import make_cns_rhs_affine
+
+    return make_sharded_rhs(mesh, disc, make_cns_rhs_affine, axis, **kw)
 
 
 def make_sharded_euler_rhs_fused(mesh: Mesh, disc: Discretization,

@@ -10,7 +10,7 @@ from .core import build_discretization, ref_hex, ref_line, ref_tri
 from .mesh import uniform_hex_mesh, uniform_line_mesh, uniform_tri_mesh
 from .physics import primitive_to_conservative
 from .physics.exact import BeckerShock
-from .solvers.boundary import Region, WallBC, region_from_indicator
+from .solvers.boundary import Region, make_wall_bc, region_from_indicator
 
 
 def _becker_dirichlet_bc(disc, shock, embed):
@@ -29,18 +29,17 @@ def _becker_dirichlet_bc(disc, shock, embed):
     def dirichlet_flux_vars(t):
         return conservative_to_primitive_beta(exact(t), shock.gamma)
 
-    bc = WallBC(disc, [Region(mask=disc.bmask, kind="dirichlet",
-                              state=dirichlet_flux_vars)])
+    def dirichlet_entropy_vars(t):
+        return v_ufun(exact(t), shock.gamma)
 
-    def entropy_vars(d, vuf, vup, t=0.0):
-        return jnp.where(disc.bmask[None], v_ufun(exact(t), shock.gamma), vup)
-
-    bc.entropy_vars = entropy_vars
-    return bc
+    return make_wall_bc(disc, [Region(
+        mask=disc.bmask, kind="dirichlet",
+        state=dirichlet_flux_vars, entropy_state=dirichlet_entropy_vars,
+    )])
 
 
 def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
-                 seed: int = 0, dtype=None):
+                 seed: int = 0, dtype=None, return_host: bool = False):
     """Flagship benchmark config: 3D periodic Euler on a hex mesh with the
     EC random-field initial condition (reference dg3D_euler_hex.jl:20-112).
 
@@ -55,7 +54,11 @@ def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
     disc = build_discretization(
         ref_hex(n), (vx, vy, vz), etov, periodic_axes=(0, 1, 2),
         curved_map=warp, dtype=dtype, grid_shape=(k1d, k1d, k1d),
+        return_host=return_host,
     )
+    host = None
+    if return_host:
+        disc, host = disc
     rng = np.random.default_rng(seed)
     sh = (disc.np_, disc.num_elements)
     rho = 2.0 + 0.1 * rng.random(sh)
@@ -63,7 +66,7 @@ def euler_hex_3d(n: int = 3, k1d: int = 8, *, curved: bool = False,
     p = 1.0 + 0.1 * rng.random(sh)
     f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)
     q0 = primitive_to_conservative(f(rho), f(vel), f(p))
-    return disc, q0
+    return (disc, q0, host) if return_host else (disc, q0)
 
 
 def becker_shocktube_1d(n: int = 4, k: int = 128, xl: float = -2.0,
@@ -110,7 +113,7 @@ def lid_driven_cavity(n: int = 3, k1d: int = 16, bctype: str = "isothermal",
         u_wall=(0.0, 0.0), theta=(1.0 / (ma * ma * gamma * (gamma - 1.0))
                                   if bctype == "isothermal" else None),
     )
-    bc = WallBC(disc, [lid, walls])
+    bc = make_wall_bc(disc, [lid, walls])
 
     sh = (disc.np_, disc.num_elements)
     f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)
@@ -147,7 +150,7 @@ def lid_driven_cavity_3d(n: int = 2, k1d: int = 8,
         disc, lambda x, y, z: np.abs(z - 1) >= tol, bctype,
         u_wall=(0.0, 0.0, 0.0), theta=theta,
     )
-    bc = WallBC(disc, [lid, walls])
+    bc = make_wall_bc(disc, [lid, walls])
 
     sh = (disc.np_, disc.num_elements)
     f = lambda a: jnp.asarray(a, dtype=disc.wq.dtype)

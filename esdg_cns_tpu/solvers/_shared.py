@@ -59,16 +59,17 @@ def resolve_flux_diff(disc, flux_diff_impl: str):
 
 
 def adiabatic_mask(disc, bc):
-    """bool [Nfq, K] marking adiabatic-wall regions (None without bc)."""
+    """bool [Nfq, K] marking adiabatic-wall regions (None without bc).
+
+    Pure jnp (no host round-trip): the masks may be traced shard_map
+    arguments when the BC bundle rides the explicit halo path."""
     if bc is None:
         return None
-    import numpy as np
-
-    am = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
+    am = jnp.zeros(bc.bmask.shape, dtype=bool)
     for r in bc.regions:
         if r.kind == "adiabatic":
-            am |= np.asarray(r.mask)
-    return jnp.asarray(am)
+            am = jnp.logical_or(am, r.mask)
+    return am
 
 
 def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,

@@ -6,6 +6,13 @@ dg2D_CNS_cavity_optimized.jl:135-265).  TPU-native equivalent: boolean
 region masks [Nfq, K] and ghost states blended in with jnp.where — no
 scatter, fully vectorized, jit-stable.
 
+``Region`` and ``WallBC`` are JAX pytrees: every array field (masks,
+normals, wall-velocity profiles) is a leaf, so the whole BC bundle
+shards along the element axis exactly like the state — this is what
+lets wall-BC problems run on the explicit shard_map halo path
+(parallel/sharding.py) as well as under pjit.  Construct with
+``make_wall_bc`` (host-side coverage check).
+
 Three hooks, applied at the reference's three interface stages:
   * inviscid: mirror-velocity ghost on the (rho, u, beta) traces
     (impose_BCs_inviscid!, :157-176);
@@ -22,24 +29,30 @@ Wall kinds: 'adiabatic' (no-slip, zero heat flux), 'isothermal'
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.discretization import Discretization
+from ..utils.pytree import pytree_dataclass
 
 
-@dataclasses.dataclass(frozen=True)
+@pytree_dataclass(meta_fields=("kind", "state", "entropy_state",
+                               "stress_state"))
 class Region:
-    """One boundary region.
+    """One boundary region (a JAX pytree; mask and profiles are leaves).
 
     mask: bool [Nfq, K]; kind: wall type; u_wall: tangential wall
     velocity components (scalars or [Nfq, K] arrays, e.g. the cavity lid
     or the regularized lid profile of the convergence test); theta:
-    cv * T_wall for isothermal walls; state / entropy_state /
-    stress_state: callables t -> stacked trace arrays for 'dirichlet'.
+    cv * T_wall for isothermal walls.  For 'dirichlet' regions the
+    static callables give the ghost traces: ``state(t)`` the stacked
+    flux variables, ``entropy_state(t)`` the entropy-variable traces
+    for the BR1 gradient stage (defaults to ``state`` if absent), and
+    ``stress_state(t)`` the ghost stresses (defaults to natural).
+    Dirichlet callables close over global-shaped arrays and are
+    therefore supported on the pjit path only, not under shard_map.
     """
 
     mask: jnp.ndarray
@@ -47,6 +60,8 @@ class Region:
     u_wall: tuple = (0.0, 0.0, 0.0)
     theta: Optional[float] = None
     state: Optional[Callable] = None
+    entropy_state: Optional[Callable] = None
+    stress_state: Optional[Callable] = None
 
 
 def region_from_indicator(disc: Discretization, indicator, kind, **kw) -> Region:
@@ -57,26 +72,24 @@ def region_from_indicator(disc: Discretization, indicator, kind, **kw) -> Region
     return Region(mask=jnp.asarray(mask), kind=kind, **kw)
 
 
+@pytree_dataclass(meta_fields=("dim",))
 class WallBC:
-    """Bundle of the three ghost-state hooks for a set of wall regions."""
+    """Bundle of the three ghost-state hooks for a set of wall regions.
 
-    def __init__(self, disc: Discretization, regions: Sequence[Region]):
-        self.disc = disc
-        self.regions = list(regions)
-        self.nhat = tuple(n * disc.inv_sj for n in disc.nxj)
-        covered = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
-        for r in self.regions:
-            covered |= np.asarray(r.mask)
-        missing = np.asarray(disc.bmask) & ~covered
-        if missing.any():
-            raise ValueError(
-                f"{missing.sum()} boundary face nodes not covered by any region"
-            )
+    A frozen pytree: ``regions`` (tuple of Region), ``nhat`` (unit
+    outward normals, dim x [Nfq, K]) and ``bmask`` are leaves sharded
+    along K like every other trace array.  Build via ``make_wall_bc``.
+    """
+
+    regions: tuple
+    nhat: tuple
+    bmask: jnp.ndarray
+    dim: int
 
     # -- helpers ---------------------------------------------------------
     def _mirror_normal(self, vec, mask):
         """v -> v - 2 (v.n) n on masked nodes (vec: list of [Nfq,K])."""
-        dim = self.disc.dim
+        dim = self.dim
         vn = sum(vec[d] * self.nhat[d] for d in range(dim))
         return [
             jnp.where(mask, vec[d] - 2.0 * vn * self.nhat[d], vec[d])
@@ -113,7 +126,8 @@ class WallBC:
         for r in self.regions:
             m = r.mask
             if r.kind == "dirichlet":
-                vup = jnp.where(m[None], r.state(t), vup)
+                src = r.entropy_state if r.entropy_state is not None else r.state
+                vup = jnp.where(m[None], src(t), vup)
                 continue
             if r.kind == "slip":
                 vmom = [jnp.where(m, vuf[1 + d], vup[1 + d]) for d in range(dim)]
@@ -164,6 +178,9 @@ class WallBC:
             sf = s_f[xdir]
             for r in self.regions:
                 m = r.mask
+                if r.kind == "dirichlet" and r.stress_state is not None:
+                    sp = jnp.where(m[None], r.stress_state(t)[xdir], sp)
+                    continue
                 if r.kind == "dirichlet" or r.kind == "isothermal":
                     # natural: sigma+ = sigma-
                     sp = jnp.where(m[None], sf, sp)
@@ -199,8 +216,23 @@ class WallBC:
         """Boundary override of the viscous-penalty energy row
         (dg2D_CNS_cavity_optimized.jl:827-837)."""
         avg2 = 0.5 * (vup + vuf)
-        bmask = self.disc.bmask
-        base = sum(avg2[1 + d] * dv[1 + d] for d in range(self.disc.dim))
+        bmask = self.bmask
+        base = sum(avg2[1 + d] * dv[1 + d] for d in range(self.dim))
         full = base + 0.5 * dv[-1] * dv[-1]
         num = jnp.where(adiabatic_mask, base, full)
         return jnp.where(bmask, -tau * num / vuf[-1], tau * dv[-1])
+
+
+def make_wall_bc(disc: Discretization, regions: Sequence[Region]) -> WallBC:
+    """Assemble a WallBC bundle; checks every boundary node is covered."""
+    covered = np.zeros(np.asarray(disc.bmask).shape, dtype=bool)
+    for r in regions:
+        covered |= np.asarray(r.mask)
+    missing = np.asarray(disc.bmask) & ~covered
+    if missing.any():
+        raise ValueError(
+            f"{missing.sum()} boundary face nodes not covered by any region"
+        )
+    nhat = tuple(n * disc.inv_sj for n in disc.nxj)
+    return WallBC(regions=tuple(regions), nhat=nhat, bmask=disc.bmask,
+                  dim=disc.dim)

@@ -331,3 +331,93 @@ def test_global_sbp_periodic_self_neighbor():
     dq_ref, _ = make_euler_rhs(disc, dissipation=False)(q)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_block_jacobi_preconditioner_stiff_dt():
+    """At reference-comparable stiff dt (~12x the explicit CFL limit)
+    with a constrained Krylov budget, the colored block-Jacobi
+    preconditioner converges Newton to the residual tolerance where the
+    unpreconditioned solve stalls — the robustness analogue of the
+    reference's sparse direct solve (implicit_euler_2D.jl:188).
+    Measured table in PARITY.md."""
+    from esdg_cns_tpu.timestepping.implicit import element_coloring
+
+    disc = _tri_disc(4, 2)
+    rhs = make_euler_rhs(disc, dissipation=True, compute_rhstest=False)
+    colors = element_coloring(disc)
+    assert colors.shape[0] == 2  # uniform tri mesh is bipartite
+    rng = np.random.default_rng(1)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    dt = 0.5  # explicit heuristic for this config ~0.042
+    run = lambda **kw: jax.jit(lambda q: implicit_midpoint(
+        rhs, q, dt, 1, gmres_restart=10, gmres_maxiter=1, **kw))(q0)
+    _, aux_plain = run()
+    _, aux_bj = run(precond_rhs=rhs, precond_colors=colors)
+    res_plain = float(aux_plain["newton_residual"][0])
+    res_bj = float(aux_bj["newton_residual"][0])
+    assert res_bj < 1e-10, res_bj                  # converged
+    assert res_plain > 1e-10, res_plain            # plain stalls here
+    assert int(aux_bj["newton_iters"][0]) <= int(aux_plain["newton_iters"][0])
+
+
+def test_newton_reports_residual_norm_not_step():
+    """The convergence report is the residual norm: a solve stopped by
+    max_newton with a stalled GMRES must report a LARGE residual, not a
+    small step size."""
+    disc = _tri_disc(4, 2)
+    rhs = make_euler_rhs(disc, dissipation=True, compute_rhstest=False)
+    rng = np.random.default_rng(1)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    # deliberately starved solver at stiff dt
+    _, aux = jax.jit(lambda q: implicit_midpoint(
+        rhs, q, 1.0, 1, gmres_restart=5, gmres_maxiter=1, max_newton=5))(q0)
+    r = float(aux["newton_residual"][0])
+    dq0, _ = rhs(q0)
+    assert r > 1e-8 * float(jnp.abs(dq0).max())  # honestly unconverged
+
+
+def test_implicit_midpoint_sharded_pjit():
+    """Preconditioned implicit midpoint under pjit element sharding
+    matches the single-device result (VERDICT round-2 item 6)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from esdg_cns_tpu.parallel import shard_discretization
+    from esdg_cns_tpu.timestepping.implicit import element_coloring
+
+    disc = _tri_disc(4, 2)
+    rhs = make_euler_rhs(disc, dissipation=True, compute_rhstest=False)
+    colors = element_coloring(disc)
+    rng = np.random.default_rng(1)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    dt = 0.2
+    step = lambda r: (lambda q: implicit_midpoint(
+        r, q, dt, 2, precond_rhs=r, precond_colors=colors))
+    qf_ref, aux_ref = jax.jit(step(rhs))(q0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    disc_s, q_s = shard_discretization(mesh, "e", disc, q0)
+    rhs_s = make_euler_rhs(disc_s, dissipation=True, compute_rhstest=False)
+    qf_s, aux_s = jax.jit(step(rhs_s))(q_s)
+    np.testing.assert_allclose(np.asarray(qf_s), np.asarray(qf_ref),
+                               rtol=1e-10, atol=1e-10)
+    assert float(aux_s["newton_residual"].max()) < 1e-10

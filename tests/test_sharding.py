@@ -304,3 +304,55 @@ def test_shard_map_dopri45_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(qf_sm), np.asarray(qf_ref), rtol=1e-9, atol=1e-9
     )
+
+
+def test_shard_map_cavity_wall_bc_equivalence():
+    """Wall-BC cavity on the EXPLICIT halo path (round-3 lift of the
+    pjit-only restriction): the WallBC pytree's [Nfq, K] leaves (region
+    masks, normals, lid profile) shard along the element axis, and the
+    slab halo handles the non-periodic mesh via union send patterns."""
+    from esdg_cns_tpu.parallel.sharding import make_sharded_cns_rhs_affine
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=8, bctype="isothermal")
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs_affine(disc, **kw))(q0)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_cns_rhs_affine(mesh, disc, **kw))(q0)
+    np.testing.assert_allclose(np.asarray(dq_sm), np.asarray(dq_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(aux_sm["rhstest"]),
+                               float(aux_ref["rhstest"]), atol=1e-12)
+
+
+def test_shard_map_cavity_3d_wall_bc():
+    """3D lid-driven cavity (beyond-reference capability) on the
+    explicit halo path: z-layer slabs, wall BCs on all six faces."""
+    from esdg_cns_tpu.parallel.sharding import make_sharded_cns_rhs_affine
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=8)
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs_affine(disc, **kw))(q0)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_cns_rhs_affine(mesh, disc, **kw))(q0)
+    np.testing.assert_allclose(np.asarray(dq_sm), np.asarray(dq_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(aux_sm["rhstest"]),
+                               float(aux_ref["rhstest"]), atol=1e-12)
+
+
+def test_shard_map_rejects_dirichlet_closures():
+    """Dirichlet regions close over global-shaped arrays; the halo path
+    must refuse them loudly (pjit path handles them)."""
+    from esdg_cns_tpu.parallel.sharding import make_sharded_cns_rhs
+    from esdg_cns_tpu.presets import becker_shocktube_2d
+
+    disc, q0, bc, shock = becker_shocktube_2d(n=2, k1d=8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    with pytest.raises(ValueError, match="dirichlet"):
+        make_sharded_cns_rhs(mesh, disc, mu=shock.mu, pr=0.72, bc=bc)
