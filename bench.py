@@ -1,13 +1,31 @@
-"""Headline benchmark: p=3 3D Euler on a periodic hex mesh (the
-reference's dg3D_euler_hex config, BASELINE.md north star).
+"""Headline benchmarks with FLOP/byte roofline accounting.
 
-Prints one JSON line:
+Configs (BENCH_CONFIG):
+  euler_hex      — p=3 3D Euler hex, fused Pallas path (the north-star
+                   config, reference dg3D_euler_hex.jl).
+  cns_cavity     — 2D CNS lid-driven cavity, N=3 tri, affine composed
+                   path (reference dg2D_CNS_cavity_optimized.jl).
+  cns_cavity_3d  — 3D CNS cavity, N=3 collocated hex (beyond-reference
+                   capability).
+  all (default)  — run all three; the Euler number is the primary
+                   metric, the CNS numbers ride in "extras".
+
+Prints ONE JSON line:
   {"metric": "dof_rk_stage_per_s", "value": ..., "unit": "DOF*stage/s",
-   "vs_baseline": value / 1e9}
+   "vs_baseline": value / 1e9, "extras": {...}}
 
-DOF counts conservative unknowns (5 fields x Np x K); one RK stage = one
-RHS evaluation inside the LSRK45 loop.  Runs in float32 on whatever
-jax.devices() provides (the driver runs it on one real TPU chip).
+Each config also reports a roofline block: analytic FLOPs and minimum
+HBM bytes per RHS (counting model documented in _roofline_* below),
+achieved GFLOP/s and GB/s, and the fraction of the roofline-implied
+minimum stage time actually attained (v5e peaks: 819 GB/s HBM;
+f32-equivalent MXU peak taken as bf16 197 TFLOP/s / 6 for the 6-pass
+HIGHEST-precision f32 matmuls this code requires, VPU-dominated
+pointwise work executes far below MXU peak so fraction_of_roofline is
+conservative).
+
+DOF counts conservative unknowns (Nf x Np x K); one RK stage = one RHS
+evaluation inside the LSRK45 loop.  f32 on whatever jax.devices()
+provides (the driver runs it on one real TPU chip).
 """
 
 import json
@@ -32,8 +50,12 @@ try:
 except Exception:
     pass
 
-from esdg_cns_tpu.presets import euler_hex_3d, lid_driven_cavity
-from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
+from esdg_cns_tpu.presets import (
+    euler_hex_3d,
+    lid_driven_cavity,
+    lid_driven_cavity_3d,
+)
+from esdg_cns_tpu.solvers import make_cns_rhs, make_cns_rhs_affine, make_euler_rhs
 from esdg_cns_tpu.timestepping import lsrk45
 
 NORTH_STAR = 1.0e9      # DOF * RK-stage / s (p=3 3D Euler hex)
@@ -41,6 +63,10 @@ CNS_ROUND1 = 1.98e8     # first recorded CNS cavity number (PARITY.md);
                         # the cns config's vs_baseline is measured
                         # against it (the north star is a 3D Euler
                         # target and not meaningful for 2D CNS)
+
+# v5e public peaks (see module docstring for the f32 convention)
+PEAK_HBM = 819e9                 # bytes/s
+PEAK_F32_FLOPS = 197e12 / 6.0    # 6-pass HIGHEST f32 matmul equivalent
 
 
 def _time_steps(rhs, q0, steps):
@@ -59,6 +85,133 @@ def _time_steps(rhs, q0, steps):
         run(q0).block_until_ready()
         elapsed = min(elapsed, time.perf_counter() - t0)
     return elapsed
+
+
+# -----------------------------------------------------------------------------
+# analytic roofline model (documented counting assumptions)
+# -----------------------------------------------------------------------------
+
+_EC_FLUX_FLOPS = {2: 60, 3: 78}   # one EC two-point flux, one direction
+                                  # incl. 2 logmeans (series branch) and
+                                  # the affine geo contraction
+_TRANS_FLOPS = 8                  # log/exp/pow counted as 8 flop-equiv
+
+
+def _roofline_euler_hex_fused(disc):
+    """FLOPs and minimum HBM bytes per RHS for the fused hex path.
+
+    Counting model: GEMMs = 2*M*N per field per element (Ef, LIFT, Ph);
+    flux differencing pairs from the triangular line structure
+    (3 * n1^3 (n1-1)/2 vol-vol + 3 * 2 * n1^2 * n1 vol-face); pointwise
+    constitutive maps ~25 flops/point + transcendental counts; HBM =
+    materialized kernel inputs/outputs of the 3-kernel pipeline
+    (volume kernel, roll exchange, surface kernel), intermediates in
+    VMEM not counted.
+    """
+    k = disc.num_elements
+    nq, nfq, nh, np_ = disc.nq, disc.nfq, disc.nh, disc.np_
+    n1 = disc.line_ops.n1d
+    nf = 5
+
+    pairs_vv = 3 * n1**3 * (n1 - 1) // 2
+    pairs_vf = 3 * 2 * n1**2 * n1
+    fd = (pairs_vv + pairs_vf) * _EC_FLUX_FLOPS[3]
+    gemms = 2 * nf * (nfq * nq + np_ * nfq + np_ * nh)
+    pointwise = (
+        nq * (25 + 2 * _TRANS_FLOPS)          # v_ufun at volume nodes
+        + nfq * (25 + 3 * _TRANS_FLOPS)       # u_vfun at faces
+        + nh * (10 + 2 * _TRANS_FLOPS)        # beta + logs
+        + nfq * (80 + 20)                     # surface EC flux + LF
+        + nf * np_ * 2                        # -1/J scale
+    )
+    flops = k * (fd + gemms + pointwise)
+
+    ntr = 7  # (rho, u1..3, beta, log rho, log beta) traces
+    bytes_ = 4 * k * (
+        (nf * nq + 9 + ntr * nfq + nf * nq)        # volume kernel r/w
+        + 2 * ntr * nfq                            # exchange r/w
+        + (2 * ntr * nfq + 5 * nfq + np_ + nf * nq  # surface kernel reads
+           + nf * nq)                               # + write dq
+    )
+    return flops, bytes_
+
+
+def _roofline_cns_affine(disc):
+    """FLOPs and minimum HBM bytes per RHS for the composed-operator
+    affine CNS path (2-exchange merged structure).
+
+    GEMMs: front-end stacked [Nh+(1+dim)Nq, Nq], Vq, Ph, Vq*LIFT
+    (gradient jumps), Ef stress traces (dim fields), divergence
+    contraction (dim x [Np, Nq]), batched LIFT (3 stacked rows).
+    Flux differencing: dense triangular pairs on tri (Nh^2/2 with zero
+    face-face block), line-sparse on quad/hex.  Viscous pointwise K(v)
+    matvec ~ (dim*(dim+2))^2 flops/quad point.  HBM: state + the
+    XLA-materialized stage arrays (gradients, stresses, traces,
+    exchanges) — a lower bound assuming perfect elementwise fusion
+    between GEMMs.
+    """
+    k = disc.num_elements
+    nq, nfq, nh, np_ = disc.nq, disc.nfq, disc.nh, disc.np_
+    dim = disc.dim
+    nf = dim + 2
+
+    if disc.line_ops is not None:
+        n1 = disc.line_ops.n1d
+        pairs = (dim * n1 ** dim * (n1 - 1) // 2
+                 + dim * 2 * n1 ** (dim - 1) * n1)
+    else:
+        pairs = (nh * nh - (nh - nq) ** 2) // 2
+    fd = pairs * _EC_FLUX_FLOPS[dim]
+
+    front_rows = nh + (1 + dim) * nq
+    gemms = 2 * nf * (
+        nq * np_              # Vq
+        + front_rows * nq     # stacked front end
+        + np_ * nh            # Ph
+        + dim * nq * nfq      # gradient jump lift (Vq L)
+        + dim * nfq * nq      # stress traces Ef
+        + dim * np_ * nq      # divergence
+        + 3 * np_ * nfq       # batched LIFT (flux, jump, penalty)
+    )
+    kv = nq * (dim * nf) ** 2 * 2
+    pointwise = (
+        nq * (25 + 2 * _TRANS_FLOPS) + nh * (10 + 2 * _TRANS_FLOPS)
+        + nfq * (25 + 3 * _TRANS_FLOPS)
+        + nfq * (60 + 20)
+        + kv
+        + dim * nq * (2 * dim + 2)   # gradient assembly
+        + nf * np_ * 6
+    )
+    flops = k * (fd + gemms + pointwise)
+
+    ntr1 = 2 * nf + 2 + 1 + nf       # merged exchange rows (qm,uf,logs,lam,vuf)
+    bytes_ = 4 * k * (
+        nf * np_ * 2                  # read q, write dq
+        + 2 * ntr1 * nfq + 2 * dim * nf * nfq     # two exchanges r/w
+        + 2 * dim * nf * nq           # gradients materialized r/w
+        + 2 * dim * nf * nq           # stresses materialized r/w
+        + 2 * nf * front_rows         # front-end output r/w
+    )
+    return flops, bytes_
+
+
+def _with_roofline(disc, elapsed_per_stage, model):
+    flops, bytes_ = model(disc)
+    t_min = max(flops / PEAK_F32_FLOPS, bytes_ / PEAK_HBM)
+    return {
+        "flops_per_rhs": flops,
+        "hbm_bytes_per_rhs": bytes_,
+        "arith_intensity": flops / bytes_,
+        "gflops_per_s": flops / elapsed_per_stage / 1e9,
+        "hbm_gbytes_per_s": bytes_ / elapsed_per_stage / 1e9,
+        "roofline_min_stage_s": t_min,
+        "fraction_of_roofline": t_min / elapsed_per_stage,
+    }
+
+
+# -----------------------------------------------------------------------------
+# configs
+# -----------------------------------------------------------------------------
 
 
 def bench_euler_hex():
@@ -82,7 +235,15 @@ def bench_euler_hex():
         )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements
-    return "dof_rk_stage_per_s", dof * 5 * steps / elapsed, NORTH_STAR
+    stage_s = elapsed / (5 * steps)
+    out = {
+        "metric": "dof_rk_stage_per_s",
+        "value": dof * 5 * steps / elapsed,
+        "unit": "DOF*stage/s",
+        "baseline": NORTH_STAR,
+    }
+    out["roofline"] = _with_roofline(disc, stage_s, _roofline_euler_hex_fused)
+    return out
 
 
 def bench_cns_cavity():
@@ -93,11 +254,6 @@ def bench_cns_cavity():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    # measured on v5e (N=3, K=32768, stacked): roll exchange 1.98e8 ->
-    # 6.5e8; triangular fd 6.5e8 -> 7.5e8; fused volume kernel ~= the
-    # xla front (7.48e8 vs 7.46e8), kept as default.  BENCH_FD_IMPL
-    # selects the fd kernel ONLY when BENCH_VOLUME_IMPL != 'fused'
-    # (the fused volume kernel contains its own flux differencing).
     volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "fused")
     impl = os.environ.get("BENCH_FD_IMPL", "pallas")
     if jax.devices()[0].platform == "cpu":
@@ -105,7 +261,6 @@ def bench_cns_cavity():
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "xla")
 
-    from esdg_cns_tpu.solvers import make_cns_rhs_affine
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
@@ -115,21 +270,76 @@ def bench_cns_cavity():
     )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 4 * disc.np_ * disc.num_elements
-    return "cns_dof_rk_stage_per_s", dof * 5 * steps / elapsed, CNS_ROUND1
+    stage_s = elapsed / (5 * steps)
+    out = {
+        "metric": "cns_dof_rk_stage_per_s",
+        "value": dof * 5 * steps / elapsed,
+        "unit": "DOF*stage/s",
+        "baseline": CNS_ROUND1,
+    }
+    out["roofline"] = _with_roofline(disc, stage_s, _roofline_cns_affine)
+    return out
+
+
+def bench_cns_cavity_3d():
+    """3D CNS cavity (beyond-reference): N=3 collocated hex, wall BCs,
+    affine composed-operator path with line-sparse flux differencing."""
+    n = int(os.environ.get("BENCH_N", 3))
+    k1d = int(os.environ.get("BENCH_K1D", 16))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    if jax.devices()[0].platform == "cpu":
+        k1d = int(os.environ.get("BENCH_K1D", 4))
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=n, k1d=k1d, dtype=jnp.float32)
+    rhs = make_cns_rhs_affine(
+        disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+        flux_diff_impl="lines", compute_rhstest=False,
+    )
+    elapsed = _time_steps(rhs, q0, steps)
+    dof = 5 * disc.np_ * disc.num_elements
+    stage_s = elapsed / (5 * steps)
+    out = {
+        "metric": "cns3d_dof_rk_stage_per_s",
+        "value": dof * 5 * steps / elapsed,
+        "unit": "DOF*stage/s",
+        "baseline": CNS_ROUND1,
+    }
+    out["roofline"] = _with_roofline(disc, stage_s, _roofline_cns_affine)
+    return out
 
 
 def main():
-    config = os.environ.get("BENCH_CONFIG", "euler_hex")
-    if config == "cns_cavity":
-        metric, value, baseline = bench_cns_cavity()
-    else:
-        metric, value, baseline = bench_euler_hex()
-    print(json.dumps({
-        "metric": metric,
-        "value": value,
-        "unit": "DOF*stage/s",
-        "vs_baseline": value / baseline,
-    }))
+    config = os.environ.get("BENCH_CONFIG", "all")
+    runners = {
+        "euler_hex": bench_euler_hex,
+        "cns_cavity": bench_cns_cavity,
+        "cns_cavity_3d": bench_cns_cavity_3d,
+    }
+    if config in runners:
+        r = runners[config]()
+        r["vs_baseline"] = r["value"] / r.pop("baseline")
+        print(json.dumps(r))
+        return
+    # default: all three; Euler is the primary metric
+    primary = bench_euler_hex()
+    extras = {}
+    for name in ("cns_cavity", "cns_cavity_3d"):
+        try:
+            r = runners[name]()
+            r["vs_baseline"] = r["value"] / r.pop("baseline")
+            extras[name] = r
+        except Exception as e:  # noqa: BLE001 — record, don't fail the line
+            extras[name] = {"error": str(e)}
+    out = {
+        "metric": primary["metric"],
+        "value": primary["value"],
+        "unit": primary["unit"],
+        "vs_baseline": primary["value"] / primary.pop("baseline"),
+        "roofline": primary["roofline"],
+        "extras": extras,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

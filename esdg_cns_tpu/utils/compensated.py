@@ -30,7 +30,13 @@ _SPLIT_F64 = 134217729.0  # 2**27 + 1
 
 
 def _two_sum(a, b):
-    """Knuth branchless: s + err == a + b exactly."""
+    """Knuth branchless: s + err == a + b exactly.
+
+    Add/subtract chains are safe under XLA on every backend (the
+    algebraic simplifier performs no float-invalid reassociation of
+    them, verified in the optimized HLO); the FMA-contraction hazard is
+    confined to _two_prod's split, handled there.
+    """
     s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
@@ -44,16 +50,39 @@ def _fast_renorm(s, e):
     return hi, lo
 
 
+def _split(x):
+    """Exact high/low mantissa split via bit masking.
+
+    Dekker's multiplicative split (``ca = 4097*x; xh = ca - (ca - x)``)
+    is destroyed by FMA contraction: XLA:CPU's LLVM backend fuses
+    ``4097*x - x`` into an exact fms, so ``ca`` never rounds and the
+    split degenerates (measured: jitted df_mul lost its entire lo part,
+    2.8e-8 error where eager gave 2e-15; optimization_barrier does not
+    survive XLA:CPU's barrier expander).  Masking the low mantissa bits
+    is exact arithmetic-free splitting: every cross product of the
+    halves fits the mantissa, so no compiler transform can change the
+    result.  f32: keep 12 significant bits (11 explicit + implicit);
+    f64: keep 26, low part <= 27 -> all products representable except
+    the O(eps^2) lo*lo term.
+    """
+    from jax import lax
+
+    if x.dtype == jnp.float64:
+        int_t, mask = jnp.int64, ~jnp.int64(0x7FFFFFF)
+    else:
+        int_t, mask = jnp.int32, ~jnp.int32(0xFFF)
+    xi = lax.bitcast_convert_type(x, int_t)
+    xh = lax.bitcast_convert_type(xi & mask, x.dtype)
+    return xh, x - xh
+
+
 def _two_prod(a, b):
-    """Dekker: p + err == a * b exactly (no FMA needed)."""
-    factor = _SPLIT_F64 if a.dtype == jnp.float64 else _SPLIT_F32
+    """p + err == a * b exactly (FMA-contraction-proof; see _split)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, a.dtype) if not hasattr(b, "dtype") else b
     p = a * b
-    ca = factor * a
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = factor * b
-    bh = cb - (cb - b)
-    bl = b - bh
+    ah, al = _split(a)
+    bh, bl = _split(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, err
 

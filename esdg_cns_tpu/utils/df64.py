@@ -94,6 +94,24 @@ def df_mul_f(a, s):
     return _fast_renorm(p, e + a[1] * s)
 
 
+def df_mul_c(a, value: float):
+    """Multiply by a host f64 constant, split exactly into a df pair.
+
+    Use this (NOT df_mul_f) for any constant that is inexact in the
+    compute dtype — e.g. gamma-1 = 0.4, whose f32 rounding alone costs
+    1.5e-8 relative error (measured: it capped the df64 RHS at f32
+    accuracy before this distinction was made).
+    """
+    return df_mul(a, df_const(value, a[0].dtype))
+
+
+def df_add_c(a, value: float):
+    """Add a host f64 constant via an exact df split (see df_mul_c)."""
+    ch, cl = df_const(value, a[0].dtype)
+    s, e = _two_sum(a[0], ch)
+    return _fast_renorm(s, e + (a[1] + cl))
+
+
 def df_sqr(a):
     p, e = _two_prod(a[0], a[0])
     e = e + 2.0 * (a[0] * a[1])
@@ -150,17 +168,35 @@ def df_exp(a):
     r = df_sub(a, df_mul_f(ln2, m))
     # Horner: sum_{n=0..N} r^n / n!
     n_terms = 14
-    coeffs = [1.0 / float(math.factorial(n)) for n in range(n_terms, -1, -1)]
-    zero = jnp.zeros_like(a[0])
-    ch, cl = df_const(coeffs[0], dtype)
-    acc = (ch + zero, cl + zero)
-    for c in coeffs[1:]:
-        ch, cl = df_const(c, dtype)
-        acc = df_add(df_mul(acc, r), (ch + zero, cl + zero))
+    coeffs = np.array(
+        [1.0 / float(math.factorial(n)) for n in range(n_terms, -1, -1)]
+    )
+    acc = df_horner(r, coeffs)
     # exact power-of-two scale: jnp.exp2 is an approximation on some
     # backends (measured 2^29 off by 256 on XLA:CPU f32); ldexp is exact
     scale = jnp.ldexp(jnp.ones_like(a[0]), m.astype(jnp.int32))
     return acc[0] * scale, acc[1] * scale
+
+
+def df_horner(x, coeffs_np):
+    """sum_n coeffs[n] x^(N-n) via a scanned df Horner recurrence.
+
+    ``coeffs_np``: host f64 coefficients, highest order first.  A scan
+    keeps the traced graph O(1) in the term count — unrolled df Horner
+    chains at every transcendental call site stalled XLA compiles.
+    """
+    import jax
+
+    dtype = x[0].dtype
+    c_hi, c_lo = df_split_array(np.asarray(coeffs_np, np.float64), dtype)
+    zero = jnp.zeros_like(x[0])
+    acc0 = (c_hi[0] + zero, c_lo[0] + zero)
+
+    def step(acc, c):
+        return df_add(df_mul(acc, x), (c[0] + zero, c[1] + zero)), None
+
+    acc, _ = jax.lax.scan(step, acc0, (c_hi[1:], c_lo[1:]))
+    return acc
 
 
 def df_log(a):
@@ -183,6 +219,10 @@ def df_pow(a, p: float):
     use exact integer powers x sqrt — cheaper and slightly more accurate
     than the general exp(p log a) fallback.
     """
+    # snap to (half-)integer exponents within f64 roundoff of the ratio
+    # arithmetic that produced them (e.g. -1.4/0.4 = -3.4999999999999996)
+    if abs(2.0 * p - round(2.0 * p)) < 1e-12 * max(1.0, abs(p)):
+        p = round(2.0 * p) / 2.0
     if float(p) == int(p):
         n = int(p)
         if n == 0:
@@ -254,3 +294,37 @@ def df_sum_tree(a):
 
 def df_where(mask, a, b):
     return jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1])
+
+
+def verify_eft(rtol: float = 1e-13) -> float:
+    """On-device check that jit-compiled EFT chains keep df accuracy.
+
+    Compilers can silently destroy error-free transformations — x86 FMA
+    contraction turns the renormalization ``fl(p)+e`` into
+    ``fma(a,b,e) = fl(p+2e)``, double-counting the compensation
+    (measured on XLA:CPU; fixed there by ``--xla_cpu_max_isa=AVX``).
+    This probe runs a jitted df multiply-accumulate chain on the current
+    default backend against a host-f64 reference and raises if the
+    relative error exceeds ``rtol`` (the df floor is ~4e-15).  Call it
+    before trusting df64 results on a new backend/compiler version.
+    Returns the measured relative error.
+    """
+    import jax
+
+    rng = np.random.default_rng(0)
+    a64 = rng.standard_normal((32, 16))
+    x64 = rng.standard_normal((3, 16, 64))
+    a = df_split_array(a64)
+    x = df_split_array(x64)
+
+    got = df_to_f64(jax.jit(df_apply)(a, x))
+    want = np.einsum("mn,fnk->fmk", df_to_f64(a), df_to_f64(x))
+    err = float(np.abs(got - want).max() / np.abs(want).max())
+    if err > rtol:
+        raise RuntimeError(
+            f"double-float arithmetic is NOT exact under jit on this "
+            f"backend (rel err {err:.2e} > {rtol:.0e}); the compiler is "
+            f"likely contracting mul+add into FMA — on XLA:CPU set "
+            f"XLA_FLAGS=--xla_cpu_max_isa=AVX"
+        )
+    return err

@@ -11,9 +11,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # x86 FMA contraction breaks the error-free transformations behind
+    # the compensated/df64 arithmetic (measured: fl(p+2e) instead of
+    # fl(p+e) in the renormalization — utils/compensated.py).  AVX(1)
+    # has no FMA instructions, so restricting codegen to it makes every
+    # f32 op round individually, which is what the EFTs require.  TPU
+    # exactness is checked at runtime by utils.df64.verify_eft.
+    flags = (flags + " --xla_cpu_max_isa=AVX").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
