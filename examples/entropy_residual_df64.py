@@ -68,25 +68,46 @@ def main():
         rhs_f32 = make_euler_rhs(disc, dissipation=False,
                                  flux_diff_impl="lines",
                                  rhstest_mode="compensated")
+    reps = int(os.environ.get("DF64_TIMING_REPS", 20))
+
+    def time_rhs(fn):
+        """ms per RHS with `reps` applications amortized inside ONE jit
+        (per-call dispatch latency is ~30 ms in this environment and
+        would otherwise dominate both numbers)."""
+
+        @jax.jit
+        def loop(q):
+            def body(carry, _):
+                dq, _aux = fn(carry)
+                # chain the state so applications cannot be elided
+                return carry + 1e-30 * dq, None
+
+            out, _ = jax.lax.scan(body, q, None, length=reps)
+            return out
+
+        loop(q0).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loop(q0).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best / reps
+
     f32_fn = jax.jit(lambda q: rhs_f32(q)[1]["rhstest"])
     rt_f32 = float(f32_fn(q0))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        f32_fn(q0).block_until_ready()
-    t_f32 = (time.perf_counter() - t0) / 3
+    t_f32 = time_rhs(rhs_f32)
     print(f"f32 rhstest (compensated diag): {rt_f32:+.3e}   "
-          f"[{t_f32*1e3:.1f} ms/RHS]")
+          f"[{t_f32*1e3:.2f} ms/RHS]")
 
     # --- df64 RHS residual ---
-    rhs_df = jax.jit(lambda q: make_euler_rhs_df64(
-        disc, host, dissipation=False)(q)[1]["rhstest"])
-    rt_df = float(rhs_df(q0))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        rhs_df(q0).block_until_ready()
-    t_df = (time.perf_counter() - t0) / 3
+    rhs_df64 = make_euler_rhs_df64(disc, host, dissipation=False)
+    rt_df = float(jax.jit(
+        lambda q: rhs_df64(q)[1]["rhstest"])(q0))
+    rhs_df64_notest = make_euler_rhs_df64(disc, host, dissipation=False,
+                                          compute_rhstest=False)
+    t_df = time_rhs(rhs_df64_notest)
     print(f"df64 rhstest:                   {rt_df:+.3e}   "
-          f"[{t_df*1e3:.1f} ms/RHS]")
+          f"[{t_df*1e3:.2f} ms/RHS]")
     print(f"cost multiple: {t_df/t_f32:.1f}x")
     ok = abs(rt_df) <= 1e-10
     print(f"acceptance |rhstest| <= 1e-10: {'PASS' if ok else 'FAIL'}")
