@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -242,6 +243,130 @@ def flux_differencing_lines(qh, qlog, geo, gamma, *, elem_type: str,
     return 2.0 * jnp.stack(out_rows, axis=0)
 
 
+def flux_differencing_lines_perm(qh, qlog, geo, gamma, *, elem_type: str,
+                                 line_ops: LineOps, nq: int):
+    """Line-sparse flux differencing in PERMUTATION form (flat layouts).
+
+    Same contract and semantics as ``flux_differencing_lines``, but all
+    arrays stay ``[Nq, K]`` / ``[Nfq, K]`` throughout: the along-line
+    partner at offset ap is a static permutation gather of the node
+    axis, the face partner is a static face->volume index map, and the
+    skew-negative face-row reduction is one small 0/1-weighted GEMM per
+    face.  Rationale (measured at N=4, K=13824 on v5e): the reshape
+    form's (n1, ...) axes and 1-extent line slices fight the TPU's
+    (8, 128) native tiling — 12.7 ms of a 17 ms RHS went to the fd —
+    while flat layouts keep every step a full-width vector op.
+    """
+    nf, nh, k = qh.shape
+    dim = 3 if elem_type == "hex" else 2
+    n1 = line_ops.n1d
+    nfp = (nh - nq) // (2 * dim)
+    s1 = np.asarray(line_ops.s1)
+    em = np.asarray(line_ops.e_minus)
+    ep = np.asarray(line_ops.e_plus)
+    w1 = np.asarray(line_ops.w1)
+    curved = geo.shape[1] != 1
+    faces = _face_table(elem_type, n1, dim)
+    dtype = qh.dtype
+
+    idx = np.arange(nq)
+    if dim == 3:
+        coord = [idx % n1, (idx // n1) % n1, idx // (n1 * n1)]
+    else:
+        coord = [idx % n1, idx // n1]
+    wq_np = w1[coord[0]]
+    for c in coord[1:]:
+        wq_np = wq_np * w1[c]
+
+    vol = qh[:, :nq, :]
+    vlog = qlog[:, :nq, :]
+    vol_fields = tuple(vol[f] for f in range(nf))
+    vol_logs = (vlog[0], vlog[1])
+
+    acc = None
+    face_outs = {}
+
+    def contract(fluxes, geo_j_rows=None):
+        """sum_x geo_avg[x] * F_x per field; geo_j_rows: partner rows of
+        the hybridized-point geofacs for the curved average."""
+        out = []
+        for f in range(nf):
+            t = None
+            for x in range(dim):
+                g = geo[cur_d * dim + x]
+                if curved:
+                    gi = g[:nq]
+                    gj = geo_j_rows[x]
+                    gg = 0.5 * (gi + gj)
+                else:
+                    gg = g
+                term = gg * fluxes[x][f]
+                t = term if t is None else t + term
+            out.append(t)
+        return out
+
+    for cur_d in range(dim):
+        a = coord[cur_d]
+        wg = wq_np / w1[a]
+
+        # ---- volume-volume partners: static node-axis permutation ----
+        for ap in range(n1):
+            perm = idx + (ap - a) * (n1 ** cur_d)      # coord[d] -> ap
+            qj = tuple(vol[f, perm, :] for f in range(nf))
+            lj = (vlog[0, perm, :], vlog[1, perm, :])
+            fluxes = ec_flux_fields(vol_fields, qj, vol_logs, lj, gamma)
+            gj = ([geo[cur_d * dim + x, :nq][perm] for x in range(dim)]
+                  if curved else None)
+            fr = contract(fluxes, gj)
+            c = jnp.asarray((wg * s1[a, ap])[None, :, None], dtype)
+            contrib = c * jnp.stack(fr)
+            acc = contrib if acc is None else acc + contrib
+
+        # ---- the two faces pierced by the line ----
+        fid_m, fid_p, permf = faces[cur_d]
+        # face-node id for each volume node: flatten the non-line coords
+        # exactly like the reshape form does (reshape arange to fshape,
+        # broadcast over the line axis)
+        shape, axis = _dir_layout(dim, n1, cur_d)
+        fshape = list(shape)
+        fshape[axis] = 1
+        fmap = np.broadcast_to(
+            np.arange(nfp).reshape(fshape), shape
+        ).reshape(nq)
+        for fid, evec, sign in ((fid_m, em, -1.0), (fid_p, ep, +1.0)):
+            if permf is not None:
+                p = permf[0] if fid == fid_m else permf[1]
+                fidx = p[fmap]                  # original face-node ids
+            else:
+                fidx = fmap
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+            qface = qh[:, rows, :]
+            lface = qlog[:, rows, :]
+            qfv = tuple(qface[f, fidx, :] for f in range(nf))
+            lfv = (lface[0, fidx, :], lface[1, fidx, :])
+            fluxes = ec_flux_fields(vol_fields, qfv, vol_logs, lfv, gamma)
+            gj = ([geo[cur_d * dim + x, rows][fidx] for x in range(dim)]
+                  if curved else None)
+            fr = contract(fluxes, gj)
+            cvec = 0.5 * sign * wg * evec[a]           # [Nq] host
+            c = jnp.asarray(cvec[None, :, None], dtype)
+            wfr = c * jnp.stack(fr)
+            acc = acc + wfr
+            # skew-negative face rows: out[m] = -sum_{i: fidx[i]==m} wfr[i]
+            # — a 0/1 [nfp, Nq] contraction, i.e. one small MXU GEMM
+            rmat = np.zeros((nfp, nq))
+            rmat[fidx, idx] = 1.0
+            contrib = -jnp.einsum(
+                "mi,fik->fmk", jnp.asarray(rmat, dtype),
+                wfr, precision=jax.lax.Precision.HIGHEST,
+            )
+            prev = face_outs.get(fid)
+            face_outs[fid] = contrib if prev is None else prev + contrib
+
+    parts = [acc] + [face_outs[i] for i in range(2 * dim)]
+    return 2.0 * jnp.concatenate(parts, axis=1)
+
+
 def _hex_line_coeffs(line_ops: LineOps):
     """Host-built coefficient tensors for the Pallas hex kernel.
 
@@ -445,6 +570,12 @@ def flux_differencing_lines_pallas(qh, qlog, geo, gamma, *, elem_type: str,
         out_specs=pl.BlockSpec((nf, nh, kb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, nh, kp), qh.dtype),
+        # the N=4 unrolled-line temporaries need ~36 MB of kernel stack
+        # at block_k=128, past the 16 MB default scoped-VMEM limit
+        # (v5e has 128 MB); same budget as ops.pallas_volume
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(qh, qlog, geo, cvol, cface)
     return out[:, :, :k]

@@ -53,8 +53,8 @@ def timeit(fn, *args, reps=20):
             first = out
             while isinstance(first, (tuple, list)):
                 first = first[0]
-            return (c[0] + 1e-30 * first.astype(c[0].dtype)
-                    * jnp.zeros((), c[0].dtype),) + c[1:], None
+            link = (1e-30 * first.ravel()[0]).astype(c[0].dtype)
+            return (c[0] + link,) + c[1:], None
 
         c, _ = jax.lax.scan(body, a, None, length=reps)
         return c[0]

@@ -47,8 +47,13 @@ def timeit(fn, *args, reps=20):
     def loop(*a):
         def body(c, _):
             out = fn(*c) if len(c) > 1 else fn(c[0])
-            first = out[0] if isinstance(out, tuple) else out
-            return (c[0] + 1e-30 * first.astype(c[0].dtype),) + c[1:], None
+            first = out
+            while isinstance(first, (tuple, list)):
+                first = first[0]
+            # chain a scalar of the output into the carry so no
+            # iteration can be elided (shapes of out and carry differ)
+            link = (1e-30 * first.ravel()[0]).astype(c[0].dtype)
+            return (c[0] + link,) + c[1:], None
 
         c, _ = jax.lax.scan(body, a, None, length=reps)
         return c[0]
@@ -72,6 +77,9 @@ def study(n, k1d):
         ("lines", make_euler_rhs(disc, dissipation=True,
                                  flux_diff_impl="lines",
                                  compute_rhstest=False)),
+        ("lines_perm", make_euler_rhs(disc, dissipation=True,
+                                      flux_diff_impl="lines_perm",
+                                      compute_rhstest=False)),
         ("lines_pallas", make_euler_rhs(disc, dissipation=True,
                                         flux_diff_impl="lines_pallas",
                                         compute_rhstest=False)),
