@@ -218,7 +218,10 @@ def bench_euler_hex():
     """Headline config: p=3 3D Euler hex, fused Pallas path."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 32))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    # 60 steps = 300 RK stages per jit call: the ~30 ms per-call
+    # dispatch latency then biases the rate by <3% (it was ~8% at the
+    # round-2 default of 20 steps)
+    steps = int(os.environ.get("BENCH_STEPS", 60))
     impl = os.environ.get("BENCH_FD_IMPL", "fused")
     if jax.devices()[0].platform == "cpu":
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
@@ -253,7 +256,7 @@ def bench_cns_cavity():
     affine composed-operator path, f32, fixed-dt LSRK45 timing loop."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 128))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 60))  # dispatch amortization
     volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "fused")
     impl = os.environ.get("BENCH_FD_IMPL", "pallas")
     if jax.devices()[0].platform == "cpu":
@@ -286,7 +289,7 @@ def bench_cns_cavity_3d():
     affine composed-operator path with line-sparse flux differencing."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 16))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 60))  # dispatch amortization
     if jax.devices()[0].platform == "cpu":
         k1d = int(os.environ.get("BENCH_K1D", 4))
 

@@ -367,6 +367,110 @@ def flux_differencing_lines_perm(qh, qlog, geo, gamma, *, elem_type: str,
     return 2.0 * jnp.concatenate(parts, axis=1)
 
 
+def flux_differencing_lines_rot(qh, qlog, geo, gamma, *, elem_type: str,
+                                line_ops: LineOps, nq: int):
+    """Line-sparse flux differencing with ROTATED layouts (affine hex).
+
+    The reshape form's per-direction views place the line axis at
+    different positions; for d=0/1 that puts an n1-extent dimension in
+    the last-two (sublane) slots, which the TPU pads to 8 (60% waste at
+    n1=5) and relayouts between steps — measured 11.7 ms of a 15.8 ms
+    N=4 RHS.  Here every direction is first rotated by a sublane
+    TRANSPOSE (one cheap relayout pass, ~0.1 ms per array) so the line
+    coordinate is the SLOWEST node axis: all flux evaluations then run
+    on [.., n1, n1^2, K] views whose last-two dims (n1^2, K) tile
+    cleanly, the partner block is a contiguous leading-axis slice, and
+    the face-row reduction is a plain leading-axis sum.  Semantics equal
+    to flux_differencing_lines to roundoff (tested).
+
+    Affine hex only (the benchmark family); falls back to
+    flux_differencing_lines otherwise.
+    """
+    curved = geo.shape[1] != 1
+    if elem_type != "hex" or curved:
+        return flux_differencing_lines(qh, qlog, geo, gamma,
+                                       elem_type=elem_type,
+                                       line_ops=line_ops, nq=nq)
+    nf, nh, k = qh.shape
+    n1 = line_ops.n1d
+    ng = n1 * n1
+    nfp = (nh - nq) // 6
+    s1 = np.asarray(line_ops.s1)
+    em = np.asarray(line_ops.e_minus)
+    ep = np.asarray(line_ops.e_plus)
+    w1 = np.asarray(line_ops.w1)
+    dtype = qh.dtype
+
+    # node axes of the (c, b, a) view to put the line axis first;
+    # groups then flatten in the same order as the reshape form's face
+    # node ids ((c,b) / (c,a) / (b,a))
+    axis_orders = {0: (2, 0, 1), 1: (1, 0, 2), 2: (0, 1, 2)}
+
+    vol = qh[:, :nq].reshape(nf, n1, n1, n1, k)
+    vlog = qlog[:, :nq].reshape(2, n1, n1, n1, k)
+
+    acc = jnp.zeros((nf, nq, k), dtype)
+    face_parts = {}
+
+    for d in range(3):
+        order = axis_orders[d]
+        perm = (0,) + tuple(1 + o for o in order) + (4,)
+        v_d = [vol[f].transpose([o for o in order] + [3]).reshape(n1, ng, k)
+               for f in range(nf)]
+        l_d = [vlog[l].transpose([o for o in order] + [3]).reshape(n1, ng, k)
+               for l in range(2)]
+
+        # host coeffs on the rotated index (a, g)
+        # group weights: product of the two non-line 1D weights
+        gw = np.outer(w1, w1).reshape(ng)          # order matches groups
+        geo_d = [geo[d * 3 + x] for x in range(3)]  # [1, K] each
+
+        def contract(fluxes):
+            out = []
+            for f in range(nf):
+                t = None
+                for x in range(3):
+                    term = geo_d[x] * fluxes[x][f]
+                    t = term if t is None else t + term
+                out.append(t)
+            return out
+
+        acc_d = None
+        for ap in range(n1):
+            qj = tuple(v[ap:ap + 1] for v in v_d)          # [1, ng, K]
+            lj = tuple(l[ap:ap + 1] for l in l_d)
+            fluxes = ec_flux_fields(tuple(v_d), qj, tuple(l_d), lj, gamma)
+            fr = contract(fluxes)                          # [n1, ng, K]
+            c = jnp.asarray((s1[:, ap][:, None] * gw[None, :])[..., None],
+                            dtype)
+            contrib = jnp.stack([c * fr[f] for f in range(nf)])
+            acc_d = contrib if acc_d is None else acc_d + contrib
+
+        fid_m, fid_p = 2 * d, 2 * d + 1
+        for fid, evec, sign in ((fid_m, em, -1.0), (fid_p, ep, +1.0)):
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+            fv = tuple(qh[f, rows][None] for f in range(nf))   # [1, ng, K]
+            fl = tuple(qlog[l, rows][None] for l in range(2))
+            fluxes = ec_flux_fields(tuple(v_d), fv, tuple(l_d), fl, gamma)
+            fr = contract(fluxes)
+            c = jnp.asarray(
+                (0.5 * sign * evec[:, None] * gw[None, :])[..., None], dtype
+            )
+            wfr = jnp.stack([c * fr[f] for f in range(nf)])
+            acc_d = acc_d + wfr
+            face_parts[fid] = -jnp.sum(wfr, axis=1)            # [nf, ng, K]
+
+        # rotate the volume accumulator back to natural node order
+        inv = np.argsort(order)
+        acc_nat = acc_d.reshape(nf, n1, n1, n1, k).transpose(
+            [0] + [1 + int(i) for i in inv] + [4]
+        ).reshape(nf, nq, k)
+        acc = acc + acc_nat
+
+    parts = [acc] + [face_parts[i] for i in range(6)]
+    return 2.0 * jnp.concatenate(parts, axis=1)
+
+
 def _hex_line_coeffs(line_ops: LineOps):
     """Host-built coefficient tensors for the Pallas hex kernel.
 

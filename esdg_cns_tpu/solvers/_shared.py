@@ -33,18 +33,21 @@ def resolve_flux_diff(disc, flux_diff_impl: str):
         from ..ops.pallas_fd import flux_differencing_pallas
 
         return functools.partial(flux_differencing_pallas, nq=nq)
-    if flux_diff_impl in ("lines", "lines_pallas", "lines_perm"):
+    if flux_diff_impl in ("lines", "lines_pallas", "lines_perm",
+                          "lines_rot"):
         from ..ops.tensor_product_fd import (
             flux_differencing_lines,
             flux_differencing_lines_pallas,
             flux_differencing_lines_perm,
+            flux_differencing_lines_rot,
         )
 
         if disc.line_ops is None:
             raise ValueError("'lines' requires a collocated quad/hex mesh")
         impl = {"lines": flux_differencing_lines,
                 "lines_pallas": flux_differencing_lines_pallas,
-                "lines_perm": flux_differencing_lines_perm}[flux_diff_impl]
+                "lines_perm": flux_differencing_lines_perm,
+                "lines_rot": flux_differencing_lines_rot}[flux_diff_impl]
 
         def fd(qh, qlog, q_skew, geo, gamma):
             del q_skew  # the Kronecker structure replaces the dense ops

@@ -45,7 +45,12 @@ from esdg_cns_tpu.physics import euler as phys
 from esdg_cns_tpu.physics.viscous import viscous_flux_nd
 
 
-def timeit(fn, *args, reps=20):
+def timeit(fn, *args, reps=None):
+    # reps=100: the per-CALL dispatch latency is ~30 ms in this
+    # environment, so 20 reps floors every measurement at ~1.5 ms/call
+    # (observed: five very different stages all 'measured' 1.35 ms)
+    if reps is None:
+        reps = int(os.environ.get("TIMEIT_REPS", 100))
     @jax.jit
     def loop(*a):
         def body(c, _):
@@ -68,6 +73,12 @@ def timeit(fn, *args, reps=20):
     return best / reps * 1e3
 
 
+
+def dispatch_floor(q0, reps=None):
+    """Measured per-rep cost of an (almost) empty timing loop: the
+    residual dispatch/loop overhead to subtract from stage readings."""
+    return timeit(lambda q: q * 1.0000001, q0, reps=reps)
+
 def main():
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 128))
@@ -83,6 +94,8 @@ def main():
               inviscid_dissipation=True, viscous_dissipation=True,
               compute_rhstest=False)
     rhs_full = make_cns_rhs_affine(disc, volume_impl=volume_impl, **kw)
+    floor = dispatch_floor(q0)
+    print(f"dispatch floor  : {floor:7.3f} ms/rep (subtract from all)")
     ms_full = timeit(lambda q: rhs_full(q)[0], q0)
     print(f"full RHS        : {ms_full:7.3f} ms -> "
           f"{dof/(ms_full/1e3):.3e} DOF*stage/s")
