@@ -36,7 +36,11 @@ def main():
         k1d=env_int("K1D", 32),
         bctype=os.environ.get("BCTYPE", "adiabatic"),
         reynolds=(env_float("RE", 100.0),),
-        dissipation_cases=((True, True),),
+        dissipation_cases=(
+            ((True, True),) if os.environ.get("DISSIPATION", "both") == "on"
+            else (((False, False),) if os.environ.get("DISSIPATION") == "off"
+                  else ((False, False), (True, True)))
+        ),
         t_end=env_float("T", 1.0),
         output_path=os.environ.get("OUT", "wall_bc_errors.json"),
     )

@@ -2,6 +2,7 @@
 (interpret mode on CPU) must match the portable XLA all-pairs path to
 machine precision, on both affine and curved-geofac meshes."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -156,3 +157,59 @@ def test_fused_rhs_matches_lines_n4_f64():
     scale = float(jnp.abs(jnp.asarray(a)).max())
     np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("impl", ["lines_perm", "lines_rot"])
+@pytest.mark.parametrize("n", [2, 4])
+def test_layout_variants_match_lines_hex(impl, n):
+    """The permutation-form and rotated-layout flux differencing (round-3
+    TPU layout studies) are algebraically the same operator as the
+    reshape-form lines path on hex meshes."""
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+
+    disc, q0 = euler_hex_3d(n=n, k1d=2)
+    a, _ = jax.jit(make_euler_rhs(disc, dissipation=True,
+                                  flux_diff_impl="lines",
+                                  compute_rhstest=False))(q0)
+    b, _ = jax.jit(make_euler_rhs(disc, dissipation=True,
+                                  flux_diff_impl=impl,
+                                  compute_rhstest=False))(q0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_lines_perm_matches_lines_curved_and_quad():
+    """lines_perm also covers curved hex metrics (pointwise-averaged
+    geofacs) and the reference quad face orderings."""
+    from esdg_cns_tpu.core import build_discretization, ref_quad
+    from esdg_cns_tpu.mesh import uniform_quad_mesh
+    from esdg_cns_tpu.physics import primitive_to_conservative
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+
+    disc, q0 = euler_hex_3d(n=2, k1d=2, curved=True)
+    a, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
+                          compute_rhstest=False)(q0)
+    b, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines_perm",
+                          compute_rhstest=False)(q0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
+
+    vx, vy, etov = uniform_quad_mesh(3)
+    discq = build_discretization(ref_quad(3), (vx, vy), etov,
+                                 periodic_axes=(0, 1))
+    rng = np.random.default_rng(0)
+    sh = (discq.np_, discq.num_elements)
+    q = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    a, _ = make_euler_rhs(discq, dissipation=True, flux_diff_impl="lines",
+                          compute_rhstest=False)(q)
+    b, _ = make_euler_rhs(discq, dissipation=True,
+                          flux_diff_impl="lines_perm",
+                          compute_rhstest=False)(q)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
