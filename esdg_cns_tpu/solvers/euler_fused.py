@@ -36,18 +36,17 @@ def make_euler_rhs_fused(
 ):
     """Fused-RHS builder; requires a collocated hex discretization.
 
-    The fused Pallas kernels compile and run for every order, but for
-    N >= 4 the unrolled-line temporaries exceed the 16 MB default VMEM
-    budget (raised to 100 MB via compiler params) and the resulting
-    register/VMEM pressure makes the kernel slower than the XLA
-    line-sparse path — measured on v5e at N=4, K=4096, f32:
-    lines 8.4e8 vs fused 5.6e8 DOF*RK-stage/s (with triangular
-    pairs; 7.7e8 vs 4.4e8 before them).  The builder therefore
-    defaults to the faster lines path for N >= 4; pass force_fused=True
-    to keep the Pallas kernels regardless."""
+    The round-3 matched-DOF study (PARITY.md, examples/n4_perf_study.py)
+    corrected the round-2 comparison: with dispatch-floor-calibrated
+    timing at N=4, K=13824 the fused kernel is the FASTEST path
+    (14.6 ms vs lines 16.0 / lines_pallas 17.4), so it is now the
+    default through N=4 (its unrolled-line temporaries need the 100 MB
+    scoped-VMEM budget set in ops.pallas_volume).  N >= 5 still falls
+    back to the XLA lines path: the kernel stack grows another ~2x and
+    is unmeasured there."""
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
-    if disc.n >= 4 and not force_fused:
+    if disc.n >= 5 and not force_fused:
         from .euler import make_euler_rhs
 
         return make_euler_rhs(

