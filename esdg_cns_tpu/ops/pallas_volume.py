@@ -285,6 +285,253 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
     return out[:, :, :k], traces[:, :, :k]
 
 
+def _proj_kernel(q_ref, ef_ref, qh_ref, qlog_ref, traces_ref, *, gamma):
+    """Split-path stage 1: entropy projection + flux variables + logs.
+
+    Emits the hybridized flux-variable state (qh, qlog) for the
+    per-direction fd kernels plus the 7-row face traces for the
+    exchange (same trace contract as _volume_kernel).
+    """
+    nf = q_ref.shape[0]
+    nq = q_ref.shape[1]
+    gm1 = gamma - 1.0
+    q = q_ref[...]
+    ef = ef_ref[...]
+
+    rho, m1, m2, m3, e = (q[i] for i in range(5))
+    rhou2 = m1 * m1 + m2 * m2 + m3 * m3
+    p = gm1 * (e - 0.5 * rhou2 / rho)
+    s = jnp.log(p) - gamma * jnp.log(rho)
+    v1 = (gamma + 1.0 - s) - gm1 * e / p
+    vm = [gm1 * m / p for m in (m1, m2, m3)]
+    ve = -gm1 * rho / p
+
+    def face(x):
+        return jnp.dot(ef, x, preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    fv1, fve = face(v1), face(ve)
+    fvm = [face(v) for v in vm]
+    vnorm = fvm[0] * fvm[0] + fvm[1] * fvm[1] + fvm[2] * fvm[2]
+    sf = gamma - fv1 + vnorm / (2.0 * fve)
+    rhoe = (gm1 / (-fve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
+    frho = rhoe * (-fve)
+    fmom = [rhoe * v for v in fvm]
+    fe = rhoe * (1.0 - vnorm / (2.0 * fve))
+
+    beta_v = rho / (2.0 * p)
+    uvel = [m / rho for m in (m1, m2, m3)]
+    fp = gm1 * (fe - 0.5 * (fmom[0] * fmom[0] + fmom[1] * fmom[1]
+                            + fmom[2] * fmom[2]) / frho)
+    beta_f = frho / (2.0 * fp)
+    fuvel = [m / frho for m in fmom]
+
+    def hyb(vol_x, face_x):
+        return jnp.concatenate([vol_x, face_x], axis=0)
+
+    qh = [hyb(rho, frho)] + [hyb(uvel[d], fuvel[d]) for d in range(3)] \
+        + [hyb(beta_v, beta_f)]
+    qlog = [jnp.log(qh[0]), jnp.log(qh[4])]
+    for i in range(5):
+        qh_ref[i] = qh[i]
+        traces_ref[i] = qh[i][nq:, :]
+    qlog_ref[0] = qlog[0]
+    qlog_ref[1] = qlog[1]
+    traces_ref[5] = qlog[0][nq:, :]
+    traces_ref[6] = qlog[1][nq:, :]
+
+
+def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
+                   *, n1, gamma, d):
+    """Split-path stage 2: ONE direction's triangular line-sparse flux
+    differencing.  out rows: [0:nq) volume contribution, [nq:nq+nfp)
+    minus-face rows, [nq+nfp:nq+2nfp) plus-face rows.
+
+    Rationale (measured, N=4 K=13824): the same direction-2 work costs
+    2.2 ms standalone vs 3.7 ms embedded in the all-in-one kernel —
+    kernel-wide register/scheduling pressure taxes each direction, and
+    the cost is additive across directions, so splitting recovers it.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = qh_ref.shape[0]
+    kb = qh_ref.shape[2]
+    qh = qh_ref[...]
+    qlog = qlog_ref[...]
+    geo = geo_ref[...]
+    cvol = cvol_ref[...]
+    cface = cface_ref[...]
+
+    shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
+    axes = {0: 1, 1: 1, 2: 0}
+    shape, axis = shapes[d], axes[d]
+    vshape = (*shape, kb)
+    vol_d = [qh[f, :nq].reshape(vshape) for f in range(nf)]
+    log_d = [qlog[l, :nq].reshape(vshape) for l in range(2)]
+    geo_d = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
+             for x in range(3)]
+
+    def contract(fluxes):
+        out = []
+        for f in range(nf):
+            t = None
+            for x in range(3):
+                term = geo_d[x] * fluxes[x][f]
+                t = term if t is None else t + term
+            out.append(t)
+        return out
+
+    def line_slice(arr, j):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(j, j + 1)
+        return arr[tuple(sl)]
+
+    def axis_slice(arr, hi):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, hi)
+        return arr[tuple(sl)]
+
+    acc_vol = [jnp.zeros((nq, kb), qh.dtype) for _ in range(nf)]
+    for ap in range(1, n1):
+        qi = tuple(axis_slice(v, ap) for v in vol_d)
+        li = tuple(axis_slice(l, ap) for l in log_d)
+        qj = tuple(line_slice(v, ap) for v in vol_d)
+        lj = tuple(line_slice(l, ap) for l in log_d)
+        fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+        fr = contract(fluxes)
+        c = axis_slice(cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1), ap)
+        zshape = list(shape) + [kb]
+        zshape[axis] = n1 - ap - 1
+        for f in range(nf):
+            w = c * fr[f]
+            parts = [w, -jnp.sum(w, axis=axis, keepdims=True)]
+            if n1 - ap - 1:
+                parts.append(jnp.zeros(zshape, w.dtype))
+            acc_vol[f] = acc_vol[f] + jnp.concatenate(
+                parts, axis=axis).reshape(nq, kb)
+
+    face_rows = {}
+    for side in range(2):
+        fid = 2 * d + side
+        rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+        fshape = list(shape)
+        fshape[axis] = 1
+        fvals = tuple(qh[f, rows].reshape(*fshape, kb) for f in range(nf))
+        flog = tuple(qlog[l, rows].reshape(*fshape, kb) for l in range(2))
+        fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
+                                gamma)
+        fr = contract(fluxes)
+        c = cface[fid, :, 0:1].reshape(*shape, 1)
+        face_rows[side] = []
+        for f in range(nf):
+            w = c * fr[f]
+            acc_vol[f] = acc_vol[f] + w.reshape(nq, kb)
+            face_rows[side].append(-jnp.sum(w, axis=axis).reshape(nfp, kb))
+
+    for f in range(nf):
+        out_ref[f, :nq, :] = acc_vol[f]
+        out_ref[f, nq:nq + nfp, :] = face_rows[0][f]
+        out_ref[f, nq + nfp:, :] = face_rows[1][f]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret"),
+)
+def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
+                              line_ops: LineOps, block_k: int = 128,
+                              interpret: bool = False):
+    """Split fused volume stage (affine hex): projection kernel + three
+    per-direction fd kernels + an XLA combine (Ph structure).
+
+    Same contract as euler_volume_pallas; measured faster at N=4 where
+    the all-in-one kernel's size degrades Mosaic scheduling (PARITY.md
+    round 3).
+    """
+    nf, nq_, k = q.shape
+    n1 = line_ops.n1d
+    nfp = n1 * n1
+    nfq = 6 * nfp
+    nh = nq + nfq
+    if geo.shape[1] != 1:
+        raise ValueError("split volume path is affine-only")
+
+    kb = min(block_k, k)
+    pad = (-k) % kb
+    if pad:
+        quiescent = jnp.zeros((nf,), q.dtype).at[0].set(1.0).at[-1].set(1.0)
+        q = jnp.concatenate(
+            [q, jnp.broadcast_to(quiescent[:, None, None], (nf, nq, pad))],
+            axis=-1,
+        )
+        geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
+    kp = k + pad
+
+    cvol_np, cface_np = _hex_line_coeffs(line_ops)
+    cvol = jnp.asarray(cvol_np, q.dtype)
+    cface = jnp.asarray(cface_np, q.dtype)
+    w1 = np.asarray(line_ops.w1)
+    idx = np.arange(nq)
+    wq_np = w1[idx % n1] * w1[(idx // n1) % n1] * w1[idx // (n1 * n1)]
+    fidx = np.arange(nfp)
+    wf_np = w1[fidx % n1] * w1[fidx // n1]
+
+    spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * (len(shape) - 1) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    qh, qlog, traces = pl.pallas_call(
+        functools.partial(_proj_kernel, gamma=gamma),
+        grid=(kp // kb,),
+        in_specs=[spec(nf, nq, kb), rep(nfq, nq)],
+        out_specs=(spec(nf, nh, kb), spec(2, nh, kb), spec(7, nfq, kb)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nf, nh, kp), q.dtype),
+            jax.ShapeDtypeStruct((2, nh, kp), q.dtype),
+            jax.ShapeDtypeStruct((7, nfq, kp), q.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q, ef)
+
+    parts = []
+    for d in range(3):
+        out_d = pl.pallas_call(
+            functools.partial(_fd_dir_kernel, n1=n1, gamma=gamma, d=d),
+            grid=(kp // kb,),
+            in_specs=[
+                spec(nf, nh, kb), spec(2, nh, kb), spec(9, 1, kb),
+                rep(3 * n1, nq, 128), rep(6, nq, 128),
+            ],
+            out_specs=spec(nf, nq + 2 * nfp, kb),
+            out_shape=jax.ShapeDtypeStruct((nf, nq + 2 * nfp, kp), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(qh, qlog, geo, cvol, cface)
+        parts.append(out_d)
+
+    # ---- XLA combine: Ph QF = QF_vol / wq + LIFT (QF_face / wf) ----
+    acc_vol = sum(p[:, :nq] for p in parts)
+    iw = jnp.asarray((1.0 / wq_np)[:, None], q.dtype)
+    iwf = jnp.asarray((1.0 / wf_np)[:, None], q.dtype)
+    qf_face = jnp.concatenate(
+        [iwf[None] * parts[d][:, nq + side * nfp: nq + (side + 1) * nfp]
+         for d in range(3) for side in range(2)],
+        axis=1,
+    )
+    ph_qf = 2.0 * iw[None] * acc_vol + 2.0 * jnp.einsum(
+        "ij,fjk->fik", lift, qf_face,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return ph_qf[:, :, :k], traces[:, :, :k]
+
+
 def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
                     lift_ref, phqf_ref, out_ref, *, gamma, dissipation):
     """Fused surface stage: EC interface flux + LF dissipation + LIFT +

@@ -33,6 +33,7 @@ def make_euler_rhs_fused(
     psum_axis: Optional[str] = None,
     interpret: bool = False,
     force_fused: bool = False,
+    volume_mode: str = "auto",
 ):
     """Fused-RHS builder; requires a collocated hex discretization.
 
@@ -63,11 +64,23 @@ def make_euler_rhs_fused(
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
+    # volume_mode: 'joint' = the all-in-one kernel; 'split' = projection
+    # kernel + per-direction fd kernels + XLA combine (faster at N>=4,
+    # where the joint kernel's size degrades Mosaic scheduling —
+    # PARITY.md round 3); 'auto' picks by order (affine meshes only for
+    # 'split').
+    if volume_mode == "auto":
+        volume_mode = ("split" if disc.n >= 4 and disc.affine else "joint")
+    if volume_mode == "split":
+        from ..ops.pallas_volume import euler_volume_split_pallas as _vol
+    else:
+        _vol = euler_volume_pallas
+
     nxj = jnp.stack(disc.nxj)
 
     def rhs(q, t: float = 0.0):
         del t
-        ph_qf, traces = euler_volume_pallas(
+        ph_qf, traces = _vol(
             q, disc.geo, ef, disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, block_k=block_k,
             interpret=interpret,
