@@ -31,30 +31,45 @@ import jax.numpy as jnp
 GAMMA = 1.4
 
 
+def _logmean_parts(a_l, a_r, log_l, log_r):
+    """(numerator, denominator) of the stable logarithmic mean.
+
+    Branchless series/exact select with a SINGLE division deferred to
+    the caller: L = num/den with num = aavg (series branch, safe at
+    aL == aR) or da (exact branch), den = the series polynomial or the
+    log difference.  Division throughput dominates ~1/3 of the flux-
+    differencing kernels' cost (measured, PARITY.md round 3), so each
+    logmean performs 2 divisions (v and the final ratio or its
+    reciprocal) instead of 3.
+    """
+    da = a_r - a_l
+    aavg = 0.5 * (a_r + a_l)
+    v = (da * da) / (aavg * aavg)
+    eps = jnp.finfo(jnp.result_type(a_l, a_r)).eps
+    cutoff = (1e-2 if eps < 1e-10 else 1e-1) ** 2
+    use_series = v < cutoff
+    # L = aavg / (1 + v/12 + v^2/80 + v^3/448): exact expansion of
+    # 2f / log((1+f/2)/(1-f/2)) in v = f^2
+    poly = 1.0 + v * (1.0 / 12.0 + v * (1.0 / 80.0 + v / 448.0))
+    num = jnp.where(use_series, aavg, da)
+    den = jnp.where(use_series, poly, log_r - log_l)
+    return num, den
+
+
 def logmean(a_l, a_r, log_l=None, log_r=None):
     """Stable logarithmic mean (aR - aL) / (log aR - log aL).
 
     Branchless: series for |aR-aL|/aavg below a dtype-dependent cutoff
-    (1e-2 for f64, 1e-1 for f32), exact ratio otherwise, with a safe
-    denominator so no NaN enters the untaken branch (important for AD).
+    (1e-2 for f64, 1e-1 for f32), exact ratio otherwise, with safe
+    num/den selects so no NaN enters the untaken branch (important for
+    AD).
     """
     if log_l is None:
         log_l = jnp.log(a_l)
     if log_r is None:
         log_r = jnp.log(a_r)
-    da = a_r - a_l
-    aavg = 0.5 * (a_r + a_l)
-    f = da / aavg
-    v = f * f
-    eps = jnp.finfo(jnp.result_type(a_l, a_r)).eps
-    cutoff = 1e-2 if eps < 1e-10 else 1e-1
-    use_series = jnp.abs(f) < cutoff
-    # L = aavg / (1 + v/12 + v^2/80 + v^3/448): exact expansion of
-    # 2f / log((1+f/2)/(1-f/2)) in v = f^2
-    series = aavg / (1.0 + v * (1.0 / 12.0 + v * (1.0 / 80.0 + v / 448.0)))
-    den = jnp.where(use_series, 1.0, log_r - log_l)
-    exact = da / den
-    return jnp.where(use_series, series, exact)
+    num, den = _logmean_parts(a_l, a_r, log_l, log_r)
+    return num / den
 
 
 # -----------------------------------------------------------------------------
@@ -188,13 +203,17 @@ def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA):
     dim = len(vel_l)
 
     rholog = logmean(rho_l, rho_r, logs_l[0], logs_r[0])
-    betalog = logmean(beta_l, beta_r, logs_l[1], logs_r[1])
+    # beta's logarithmic mean enters only through its RECIPROCAL, so
+    # invert the num/den select instead of dividing twice
+    bnum, bden = _logmean_parts(beta_l, beta_r, logs_l[1], logs_r[1])
+    inv_betalog = bden / bnum
 
     rhoavg = 0.5 * (rho_l + rho_r)
     velavg = [0.5 * (a + b) for a, b in zip(vel_l, vel_r)]
     vel_dot = sum(a * b for a, b in zip(vel_l, vel_r))
     pa = rhoavg / (beta_l + beta_r)
-    e_plus_p = rholog / (2.0 * (gamma - 1.0) * betalog) + pa + 0.5 * rholog * vel_dot
+    e_plus_p = (rholog * inv_betalog) * (0.5 / (gamma - 1.0)) \
+        + pa + 0.5 * rholog * vel_dot
 
     fluxes = []
     for d in range(dim):
