@@ -56,6 +56,8 @@ class SimConfig:
 
     # stepping
     stepper: str = "lsrk45"          # lsrk45|ssprk33|dopri45|implicit_midpoint
+    implicit_precond: bool = True    # colored block-Jacobi for the
+                                     # implicit stepper's GMRES
     cfl: float = 0.5
     t_end: float = 1.0
     dt: Optional[float] = None       # override the CFL heuristic
@@ -178,8 +180,12 @@ def build_problem(cfg: SimConfig, bc=None):
     return disc, rhs
 
 
-def run_simulation(cfg: SimConfig, q0, rhs, *, t0: float = 0.0):
-    """Integrate to cfg.t_end with the configured stepper (jitted)."""
+def run_simulation(cfg: SimConfig, q0, rhs, *, t0: float = 0.0, disc=None):
+    """Integrate to cfg.t_end with the configured stepper (jitted).
+
+    ``disc`` (optional) enables the colored block-Jacobi preconditioner
+    for the implicit stepper (element coloring needs the gather table).
+    """
     from .timestepping import dopri45, lsrk45, ssprk33
     from .timestepping.implicit import implicit_midpoint
 
@@ -196,7 +202,13 @@ def run_simulation(cfg: SimConfig, q0, rhs, *, t0: float = 0.0):
     elif cfg.stepper == "ssprk33":
         fn = jax.jit(lambda q: ssprk33(rhs, q, dt, nsteps, t0=t0))
     elif cfg.stepper == "implicit_midpoint":
-        fn = jax.jit(lambda q: implicit_midpoint(rhs, q, dt, nsteps, t0=t0))
+        pk = {}
+        if cfg.implicit_precond and disc is not None:
+            from .timestepping.implicit import element_coloring
+
+            pk = dict(precond_rhs=rhs, precond_colors=element_coloring(disc))
+        fn = jax.jit(lambda q: implicit_midpoint(rhs, q, dt, nsteps, t0=t0,
+                                                 **pk))
     else:
         raise ValueError(f"unknown stepper {cfg.stepper!r}")
     return fn(q0)
