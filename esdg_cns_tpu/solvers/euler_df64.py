@@ -23,8 +23,11 @@ This is a VERIFICATION mode: expected ~10-100x the f32 cost (measured
 multiple in PARITY.md), used to certify entropy conservation /
 dissipation on-chip, not to run production steps.
 
-Scope: collocated quad/hex elements (line_ops) on affine meshes — the
-flagship benchmark configuration.  Periodic only (no BC hooks).
+Scope: affine meshes, periodic (no BC hooks).  Collocated quad/hex
+elements ride the line-sparse fd; modal (tri/simplex) elements the
+dense q_skew operators with a scanned all-pairs loop — covering both
+element families of the reference's entropy acceptance
+(dg2D_euler_tri.jl and dg3D_euler_hex.jl).
 """
 
 from __future__ import annotations
@@ -364,6 +367,75 @@ def _lines_fd_df(qh, qlog, geo_df, gamma, *, elem_type, line_ops, nq):
 # -----------------------------------------------------------------------------
 
 
+def _dense_fd_df(qh_st, qlog_st, geo_df, qskew_np, gamma, nf):
+    """Dense all-pairs flux differencing in df for MODAL elements.
+
+    qh_st / qlog_st: stacked df pairs [Nf, Nh, K] / [2, Nh, K];
+    qskew_np: tuple of dim host-f64 [Nh, Nh] skew operators; geo_df:
+    dim*dim df pairs [1, K].  Scanned over the partner index j (graph
+    size O(1) in Nh); returns stacked df pair [Nf, Nh, K] incl. the
+    factor 2.
+    """
+    import jax as _jax
+
+    dim = len(qskew_np)
+    nh = qh_st[0].shape[1]
+    k = qh_st[0].shape[2]
+    dtype = qh_st[0].dtype
+    s_cols = [D.df_split_array(np.asarray(s, np.float64).T, dtype)
+              for s in qskew_np]                        # [Nh(j), Nh(i)]
+
+    qh_hi, qh_lo = qh_st
+    ql_hi, ql_lo = qlog_st
+    qi = tuple((qh_hi[f], qh_lo[f]) for f in range(nf))
+    li = tuple((ql_hi[l], ql_lo[l]) for l in range(2))
+
+    zero = jnp.zeros((nh, k), dtype)
+    acc0 = tuple(
+        tuple((zero, zero) for _ in range(nf)) for _ in range(dim * dim)
+    )
+
+    def body(acc, inp):
+        j, cols_hi, cols_lo = inp
+        qj = tuple(
+            (_jax.lax.dynamic_slice_in_dim(qh_hi[f], j, 1, 0),
+             _jax.lax.dynamic_slice_in_dim(qh_lo[f], j, 1, 0))
+            for f in range(nf)
+        )
+        lj = tuple(
+            (_jax.lax.dynamic_slice_in_dim(ql_hi[l], j, 1, 0),
+             _jax.lax.dynamic_slice_in_dim(ql_lo[l], j, 1, 0))
+            for l in range(2)
+        )
+        fluxes = ec_flux_fields_df(qi, qj, li, lj, gamma)
+        new_acc = []
+        for r in range(dim):
+            c = (cols_hi[r][:, None], cols_lo[r][:, None])   # [Nh, 1]
+            for d in range(dim):
+                slot = r * dim + d
+                row = []
+                for f in range(nf):
+                    t = D.df_mul(c, fluxes[d][f])
+                    row.append(D.df_add(acc[slot][f], t))
+                new_acc.append(tuple(row))
+        return tuple(new_acc), None
+
+    xs = (jnp.arange(nh),
+          [s[0] for s in s_cols], [s[1] for s in s_cols])
+    acc, _ = _jax.lax.scan(body, acc0, xs)
+
+    # QF = 2 sum_d sum_r geo[r*dim+d] * acc[r,d]
+    out = []
+    for f in range(nf):
+        t = None
+        for r in range(dim):
+            for d in range(dim):
+                term = D.df_mul(geo_df[r * dim + d], acc[r * dim + d][f])
+                t = term if t is None else D.df_add(t, term)
+        out.append(D.df_mul_f(t, 2.0))
+    return (jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out]))
+
+
 def make_euler_rhs_df64(
     disc: Discretization,
     host: dict,
@@ -372,7 +444,12 @@ def make_euler_rhs_df64(
     dissipation: bool = False,
     compute_rhstest: bool = True,
 ):
-    """Build the df64 verification RHS for a collocated affine mesh.
+    """Build the df64 verification RHS for an affine mesh.
+
+    Collocated quad/hex elements use the line-sparse fd; modal
+    (tri/simplex) elements use the dense q_skew operators with a
+    scanned all-pairs loop — the full element family of the reference's
+    entropy acceptance is covered.
 
     Args:
       disc: discretization (f32 leaves are fine; the accuracy-bearing
@@ -385,10 +462,9 @@ def make_euler_rhs_df64(
       double-float (value returned as f32 hi+lo sum),
       'dq_lo' — the low parts (for accuracy tests against CPU f64).
     """
-    if disc.line_ops is None:
-        raise ValueError("df64 RHS supports collocated quad/hex elements")
     if not disc.affine:
         raise ValueError("df64 RHS supports affine meshes")
+    collocated = disc.line_ops is not None
 
     nq, nh, np_ = disc.nq, disc.nh, disc.np_
     dim = disc.dim
@@ -397,6 +473,9 @@ def make_euler_rhs_df64(
 
     split = lambda a: D.df_split_array(np.asarray(a, np.float64), dtype)
     ef_df = split(host["vhp"][nq:])          # [Nfq, Nq] face extrapolation
+    vhp_df = split(host["vhp"])              # [Nh, Nq] (modal path)
+    vq_op_df = split(host["vq"])             # [Nq, Np] (modal path)
+    qskew_np = host["q_skew"]
     lift_df = split(host["lift"])            # [Np, Nfq]
     ph_df = split(host["ph"])                # [Np, Nh]
     vq_df = split(host["vq"])                # [Nq, Np]
@@ -420,18 +499,26 @@ def make_euler_rhs_df64(
         del t
         q_df = tuple(D.df(q[f]) for f in range(nf))
 
-        # ---- entropy projection (collocated shortcut) ----
-        vu, p_vol = v_ufun_df(q_df, gamma)
-        vu_stacked = stack_df(vu)                       # [Nf, Nq, K]
-        vuf = D.df_apply(ef_df, vu_stacked)             # [Nf, Nfq, K]
-        uf = u_vfun_df(unstack_df(vuf, nf), gamma)
+        if collocated:
+            # ---- entropy projection (collocated shortcut) ----
+            vu, p_vol = v_ufun_df(q_df, gamma)
+            vu_stacked = stack_df(vu)                   # [Nf, Nq, K]
+            vuf = D.df_apply(ef_df, vu_stacked)         # [Nf, Nfq, K]
+            uf = u_vfun_df(unstack_df(vuf, nf), gamma)
 
-        # hybridized state: volume block is q itself
-        uh = tuple(
-            (jnp.concatenate([q_df[f][0], uf[f][0]], axis=0),
-             jnp.concatenate([q_df[f][1], uf[f][1]], axis=0))
-            for f in range(nf)
-        )
+            # hybridized state: volume block is q itself
+            uh = tuple(
+                (jnp.concatenate([q_df[f][0], uf[f][0]], axis=0),
+                 jnp.concatenate([q_df[f][1], uf[f][1]], axis=0))
+                for f in range(nf)
+            )
+        else:
+            # ---- modal entropy projection: Vq -> v(U) -> VhP -> U(v) --
+            uq = D.df_apply(vq_op_df, stack_df(q_df))   # [Nf, Nq, K]
+            vu, p_vol = v_ufun_df(unstack_df(uq, nf), gamma)
+            vu_stacked = stack_df(vu)
+            vuh = D.df_apply(vhp_df, vu_stacked)        # [Nf, Nh, K]
+            uh = u_vfun_df(unstack_df(vuh, nf), gamma)
 
         # flux variables (rho, u.., beta) + logs at hybridized points
         rho_h, mom_h, e_h = uh[0], uh[1:-1], uh[-1]
@@ -505,16 +592,20 @@ def make_euler_rhs_df64(
 
         rhs_surf = D.df_apply(lift_df, stack_df(flux))   # [Nf, Np, K]
 
-        # ---- volume flux differencing (line-sparse, df) ----
-        qf = _lines_fd_df(
-            [
-                (f[0], f[1]) for f in qh
-            ],
-            [(l[0], l[1]) for l in qlog],
-            geo_df, gamma,
-            elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
-        )
-        ph_qf = D.df_apply(ph_df, stack_df(qf))          # [Nf, Np, K]
+        # ---- volume flux differencing (line-sparse or dense, df) ----
+        if collocated:
+            qf = _lines_fd_df(
+                [(f[0], f[1]) for f in qh],
+                [(l[0], l[1]) for l in qlog],
+                geo_df, gamma,
+                elem_type=disc.elem_type, line_ops=disc.line_ops, nq=nq,
+            )
+            qf_st = stack_df(qf)
+        else:
+            qf_st = _dense_fd_df(
+                stack_df(qh), stack_df(qlog), geo_df, qskew_np, gamma, nf
+            )
+        ph_qf = D.df_apply(ph_df, qf_st)                 # [Nf, Np, K]
 
         dq = D.df_mul(
             D.df_neg(D.df_add(ph_qf, rhs_surf)),

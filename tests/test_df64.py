@@ -107,3 +107,39 @@ def test_df64_rhs_matches_f64(dissipation):
     else:
         np.testing.assert_allclose(float(aux["rhstest"]),
                                    float(aux_ref["rhstest"]), rtol=1e-6)
+
+
+def test_df64_rhs_modal_tri_matches_f64():
+    """The MODAL (tri) df64 branch — dense q_skew all-pairs fd, full
+    Vq/VhP entropy projection — matches the true-f64 RHS and attains
+    f64-level entropy conservation (the reference's original
+    acceptance configuration, dg2D_euler_tri.jl:177-183)."""
+    from esdg_cns_tpu.core import build_discretization, ref_tri
+    from esdg_cns_tpu.mesh import uniform_tri_mesh
+    from esdg_cns_tpu.physics import primitive_to_conservative
+    from esdg_cns_tpu.solvers import make_euler_rhs
+    from esdg_cns_tpu.solvers.euler_df64 import make_euler_rhs_df64
+
+    vx, vy, etov = uniform_tri_mesh(3)
+    disc, host = build_discretization(
+        ref_tri(2), (vx, vy), etov, periodic_axes=(0, 1),
+        dtype=jnp.float32, return_host=True,
+    )
+    disc64 = build_discretization(ref_tri(2), (vx, vy), etov,
+                                  periodic_axes=(0, 1), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh), jnp.float32),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh)), jnp.float32),
+        jnp.asarray(2 + 0.1 * rng.random(sh), jnp.float32),
+    )
+    dq_hi, aux = jax.jit(make_euler_rhs_df64(disc, host,
+                                             dissipation=False))(q0)
+    dq_df = (np.asarray(dq_hi, np.float64)
+             + np.asarray(aux["dq_lo"], np.float64))
+    dq_ref, _ = jax.jit(make_euler_rhs(disc64, dissipation=False))(
+        jnp.asarray(np.asarray(q0, np.float64)))
+    rel = np.abs(dq_df - np.asarray(dq_ref)).max() / np.abs(dq_ref).max()
+    assert rel < 1e-11, rel
+    assert abs(float(aux["rhstest"])) < 1e-12
