@@ -414,7 +414,6 @@ def flux_differencing_lines_rot(qh, qlog, geo, gamma, *, elem_type: str,
 
     for d in range(3):
         order = axis_orders[d]
-        perm = (0,) + tuple(1 + o for o in order) + (4,)
         v_d = [vol[f].transpose([o for o in order] + [3]).reshape(n1, ng, k)
                for f in range(nf)]
         l_d = [vlog[l].transpose([o for o in order] + [3]).reshape(n1, ng, k)

@@ -32,8 +32,6 @@ element families of the reference's entropy acceptance
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,10 +41,6 @@ from ..utils import df64 as D
 # -----------------------------------------------------------------------------
 # df constitutive maps (physics.euler in double-float)
 # -----------------------------------------------------------------------------
-
-
-def _df_stack(rows):
-    return tuple(rows)
 
 
 def v_ufun_df(q, gamma):
