@@ -32,7 +32,8 @@ from .tensor_product_fd import LineOps, _hex_line_coeffs
 
 
 def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
-                   ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma, curved):
+                   ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma,
+                   curved, view_acc=False):
     nq = n1 ** 3
     nfp = n1 * n1
     nf = q_ref.shape[0]
@@ -137,6 +138,20 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
             sl[axis] = slice(0, hi)
             return arr[tuple(sl)]
 
+        # view_acc: accumulate this direction's contributions in its own
+        # line view and reshape to flat ONCE (per field) at the end —
+        # the per-pair view->flat reshape is a cross-tile sublane
+        # relayout whenever n1 does not divide the 8-sublane tile
+        acc_d = ([jnp.zeros(vshape, q.dtype) for _ in range(nf)]
+                 if view_acc else None)
+        tofl = (lambda a: a) if view_acc else (lambda a: a.reshape(nq, kb))
+
+        def add_acc(f, w):
+            if view_acc:
+                acc_d[f] = acc_d[f] + w
+            else:
+                acc_vol[f] = acc_vol[f] + tofl(w)
+
         # triangular vol-vol line pairs: S1 is skew with zero diagonal,
         # so each plane pair (i < ap) is evaluated once and the plane-ap
         # row is the negated line sum (the reference's halving trick,
@@ -159,8 +174,7 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
                 parts = [w, -jnp.sum(w, axis=axis, keepdims=True)]
                 if n1 - ap - 1:
                     parts.append(jnp.zeros(zshape, w.dtype))
-                acc_vol[f] = acc_vol[f] + jnp.concatenate(
-                    parts, axis=axis).reshape(nq, kb)
+                add_acc(f, jnp.concatenate(parts, axis=axis))
 
         for side in range(2):
             fid = 2 * d + side
@@ -177,8 +191,12 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
             c = cface[fid, :, 0:1].reshape(*shape, 1)
             for f in range(nf):
                 w = c * fr[f]
-                acc_vol[f] = acc_vol[f] + w.reshape(nq, kb)
+                add_acc(f, w)
                 face_rows[fid][f] = -jnp.sum(w, axis=axis).reshape(nfp, kb)
+
+        if view_acc:
+            for f in range(nf):
+                acc_vol[f] = acc_vol[f] + acc_d[f].reshape(nq, kb)
 
     # ---- Ph QF = QF_vol / wq + LIFT @ (QF_face / wf) ----
     # (Ph's face block is diag(1/wq) Vf' = LIFT diag(1/wf))
@@ -212,11 +230,12 @@ def default_block_k(nq: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret"),
+    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
+                     "view_acc"),
 )
 def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
                         line_ops: LineOps, block_k: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, view_acc: bool = False):
     """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [7, Nfq, K])
     with traces = (rho, u1, u2, u3, beta, log rho, log beta) at the face
     points."""
@@ -247,7 +266,7 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
     iwf = jnp.asarray(np.repeat((1.0 / wf_np)[:, None], 128, axis=1), q.dtype)
 
     kernel = functools.partial(_volume_kernel, n1=n1, gamma=gamma,
-                               curved=curved)
+                               curved=curved, view_acc=view_acc)
     out, traces = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
@@ -342,7 +361,7 @@ def _proj_kernel(q_ref, ef_ref, qh_ref, qlog_ref, traces_ref, *, gamma):
 
 
 def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
-                   *, n1, gamma, d):
+                   *, n1, gamma, d, view_acc=False):
     """Split-path stage 2: ONE direction's triangular line-sparse flux
     differencing.  out rows: [0:nq) volume contribution, [nq:nq+nfp)
     minus-face rows, [nq+nfp:nq+2nfp) plus-face rows.
@@ -351,6 +370,12 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
     2.2 ms standalone vs 3.7 ms embedded in the all-in-one kernel —
     kernel-wide register/scheduling pressure taxes each direction, and
     the cost is additive across directions, so splitting recovers it.
+
+    view_acc: keep the accumulator in the direction's (…, n1, …, KB)
+    line view and reshape to flat (Nq, KB) ONCE at the end, instead of
+    per pair iteration.  At n1 = 5 every view<->flat reshape is a
+    cross-tile sublane relayout (5 does not divide the 8-sublane tile),
+    so the flat-accumulator form pays one relayout per pair per field.
     """
     nq = n1 ** 3
     nfp = n1 * n1
@@ -391,7 +416,10 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
         sl[axis] = slice(0, hi)
         return arr[tuple(sl)]
 
-    acc_vol = [jnp.zeros((nq, kb), qh.dtype) for _ in range(nf)]
+    vshape = (*shape, kb)
+    acc_shape = vshape if view_acc else (nq, kb)
+    tofl = (lambda a: a) if view_acc else (lambda a: a.reshape(nq, kb))
+    acc_vol = [jnp.zeros(acc_shape, qh.dtype) for _ in range(nf)]
     for ap in range(1, n1):
         qi = tuple(axis_slice(v, ap) for v in vol_d)
         li = tuple(axis_slice(l, ap) for l in log_d)
@@ -407,8 +435,7 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
             parts = [w, -jnp.sum(w, axis=axis, keepdims=True)]
             if n1 - ap - 1:
                 parts.append(jnp.zeros(zshape, w.dtype))
-            acc_vol[f] = acc_vol[f] + jnp.concatenate(
-                parts, axis=axis).reshape(nq, kb)
+            acc_vol[f] = acc_vol[f] + tofl(jnp.concatenate(parts, axis=axis))
 
     face_rows = {}
     for side in range(2):
@@ -425,22 +452,214 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
         face_rows[side] = []
         for f in range(nf):
             w = c * fr[f]
-            acc_vol[f] = acc_vol[f] + w.reshape(nq, kb)
+            acc_vol[f] = acc_vol[f] + tofl(w)
             face_rows[side].append(-jnp.sum(w, axis=axis).reshape(nfp, kb))
 
     for f in range(nf):
-        out_ref[f, :nq, :] = acc_vol[f]
+        out_ref[f, :nq, :] = (acc_vol[f].reshape(nq, kb) if view_acc
+                              else acc_vol[f])
+        out_ref[f, nq:nq + nfp, :] = face_rows[0][f]
+        out_ref[f, nq + nfp:, :] = face_rows[1][f]
+
+
+def _fd_dir_dense_chunked_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref,
+                                 cface_ref, out_ref, *, n1, gamma, d,
+                                 rows_per_chunk=24):
+    """Dense flat-partner fd with ROW-CHUNKED flux arithmetic.
+
+    Same math as _fd_dir_dense_kernel, but every ec_flux_fields chain
+    runs on a [rows_per_chunk, KB] slice of the flat volume arrays, so
+    the whole ~20-temporary live set of one flux evaluation fits in a
+    few vector registers per value instead of ceil(Nq/8) tiles each —
+    probing whether the uniform ~4x per-pair cost at n1 = 5 is
+    register/VMEM streaming pressure.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = qh_ref.shape[0]
+    kb = qh_ref.shape[2]
+    qh = qh_ref[...]
+    qlog = qlog_ref[...]
+    geo = geo_ref[...]
+    cvol = cvol_ref[...]
+    cface = cface_ref[...]
+
+    shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
+    axes = {0: 1, 1: 1, 2: 0}
+    shape, axis = shapes[d], axes[d]
+    vshape = (*shape, kb)
+
+    vol = tuple(qh[f, :nq] for f in range(nf))      # flat [Nq, KB]
+    vlog = tuple(qlog[l, :nq] for l in range(2))
+    geo_flat = [geo[d * 3 + x, 0:1] for x in range(3)]
+
+    def partner(x, ap):
+        v = x.reshape(vshape)
+        sl = [slice(None)] * v.ndim
+        sl[axis] = slice(ap, ap + 1)
+        return jnp.broadcast_to(v[tuple(sl)], vshape).reshape(nq, kb)
+
+    bounds = list(range(0, nq, rows_per_chunk)) + [nq]
+    chunks = list(zip(bounds[:-1], bounds[1:]))
+
+    def fd_pass(qj, lj, c):
+        """One partner's weighted flux contribution, chunk by chunk."""
+        parts = [[] for _ in range(nf)]
+        for r0, r1 in chunks:
+            qi_c = tuple(v[r0:r1] for v in vol)
+            li_c = tuple(l[r0:r1] for l in vlog)
+            qj_c = tuple(v[r0:r1] for v in qj)
+            lj_c = tuple(l[r0:r1] for l in lj)
+            fluxes = ec_flux_fields(qi_c, qj_c, li_c, lj_c, gamma)
+            cc = c[r0:r1]
+            for f in range(nf):
+                fr = (geo_flat[0] * fluxes[0][f]
+                      + geo_flat[1] * fluxes[1][f]
+                      + geo_flat[2] * fluxes[2][f])
+                parts[f].append(cc * fr)
+        return [jnp.concatenate(p, axis=0) for p in parts]
+
+    acc = [jnp.zeros((nq, kb), qh.dtype) for _ in range(nf)]
+    for ap in range(n1):
+        qj = tuple(partner(v, ap) for v in vol)
+        lj = tuple(partner(l, ap) for l in vlog)
+        w = fd_pass(qj, lj, cvol[d * n1 + ap, :, 0:1])
+        for f in range(nf):
+            acc[f] = acc[f] + w[f]
+
+    face_rows = {}
+    fshape = list(shape)
+    fshape[axis] = 1
+    for side in range(2):
+        fid = 2 * d + side
+        rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+
+        def fpartner(xrow):
+            v = xrow.reshape(*fshape, kb)
+            return jnp.broadcast_to(v, vshape).reshape(nq, kb)
+
+        fvals = tuple(fpartner(qh[f, rows]) for f in range(nf))
+        flog = tuple(fpartner(qlog[l, rows]) for l in range(2))
+        w = fd_pass(fvals, flog, cface[fid, :, 0:1])
+        face_rows[side] = []
+        for f in range(nf):
+            acc[f] = acc[f] + w[f]
+            face_rows[side].append(
+                -jnp.sum(w[f].reshape(vshape), axis=axis).reshape(nfp, kb)
+            )
+
+    for f in range(nf):
+        out_ref[f, :nq, :] = acc[f]
+        out_ref[f, nq:nq + nfp, :] = face_rows[0][f]
+        out_ref[f, nq + nfp:, :] = face_rows[1][f]
+
+
+def _fd_dir_dense_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
+                         out_ref, *, n1, gamma, d, view_acc=False):
+    """Dense flat-partner variant of _fd_dir_kernel (affine hex).
+
+    Every flux evaluation and accumulation runs at the FLAT (Nq, KB)
+    shape — clean (8, 128) Mosaic tiles — by broadcasting each partner
+    line value to the full grid and folding the triangular bookkeeping
+    into the dense S1 coefficient tensor (zero diagonal, skew negatives
+    already present in cvol).  This trades ~2x more pair evaluations
+    for fully aligned lowering: no odd-extent sublane slices, no
+    per-pair concatenates, no partner-row reconstruction.  At n1 = 5
+    (N = 4) those odd-extent ops cost ~4.7x per pair (PARITY.md round
+    3), which is what this formulation removes.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = qh_ref.shape[0]
+    kb = qh_ref.shape[2]
+    qh = qh_ref[...]
+    qlog = qlog_ref[...]
+    geo = geo_ref[...]
+    cvol = cvol_ref[...]
+    cface = cface_ref[...]
+
+    shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
+    axes = {0: 1, 1: 1, 2: 0}
+    shape, axis = shapes[d], axes[d]
+    vshape = (*shape, kb)
+
+    # view_acc: run everything in the direction's line view (one
+    # view<->flat relayout per field at entry/exit); otherwise flat.
+    if view_acc:
+        wshape, unflat = vshape, (lambda a: a)
+        vol = tuple(qh[f, :nq].reshape(vshape) for f in range(nf))
+        vlog = tuple(qlog[l, :nq].reshape(vshape) for l in range(2))
+        geo_c = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
+                 for x in range(3)]
+        cv = cvol[:, :, 0:1].reshape(3 * n1, *shape, 1)
+        cf = cface[:, :, 0:1].reshape(6, *shape, 1)
+    else:
+        wshape, unflat = (nq, kb), (lambda a: a.reshape(nq, kb))
+        vol = tuple(qh[f, :nq] for f in range(nf))
+        vlog = tuple(qlog[l, :nq] for l in range(2))
+        geo_c = [geo[d * 3 + x, 0:1] for x in range(3)]
+        cv = cvol[:, :, 0:1]
+        cf = cface[:, :, 0:1]
+
+    def partner(x, ap):
+        v = x.reshape(vshape) if not view_acc else x
+        sl = [slice(None)] * v.ndim
+        sl[axis] = slice(ap, ap + 1)
+        return unflat(jnp.broadcast_to(v[tuple(sl)], vshape))
+
+    def contract_c(fluxes, f):
+        return (geo_c[0] * fluxes[0][f] + geo_c[1] * fluxes[1][f]
+                + geo_c[2] * fluxes[2][f])
+
+    acc = [jnp.zeros(wshape, qh.dtype) for _ in range(nf)]
+    for ap in range(n1):
+        qj = tuple(partner(v, ap) for v in vol)
+        lj = tuple(partner(l, ap) for l in vlog)
+        fluxes = ec_flux_fields(vol, qj, vlog, lj, gamma)
+        c = cv[d * n1 + ap]
+        for f in range(nf):
+            acc[f] = acc[f] + c * contract_c(fluxes, f)
+
+    face_rows = {}
+    fshape = list(shape)
+    fshape[axis] = 1
+    for side in range(2):
+        fid = 2 * d + side
+        rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+
+        def fpartner(xrow):
+            v = xrow.reshape(*fshape, kb)
+            return unflat(jnp.broadcast_to(v, vshape))
+
+        fvals = tuple(fpartner(qh[f, rows]) for f in range(nf))
+        flog = tuple(fpartner(qlog[l, rows]) for l in range(2))
+        fluxes = ec_flux_fields(vol, fvals, vlog, flog, gamma)
+        c = cf[fid]
+        face_rows[side] = []
+        for f in range(nf):
+            w = c * contract_c(fluxes, f)
+            acc[f] = acc[f] + w
+            wv = w if view_acc else w.reshape(vshape)
+            face_rows[side].append(
+                -jnp.sum(wv, axis=axis).reshape(nfp, kb)
+            )
+
+    for f in range(nf):
+        out_ref[f, :nq, :] = (acc[f].reshape(nq, kb) if view_acc
+                              else acc[f])
         out_ref[f, nq:nq + nfp, :] = face_rows[0][f]
         out_ref[f, nq + nfp:, :] = face_rows[1][f]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret"),
+    static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
+                     "dense", "view_acc", "chunk_rows"),
 )
 def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
                               line_ops: LineOps, block_k: int = 128,
-                              interpret: bool = False):
+                              interpret: bool = False, dense: bool = False,
+                              view_acc: bool = False, chunk_rows: int = 0):
     """Split fused volume stage (affine hex): projection kernel + three
     per-direction fd kernels + an XLA combine (Ph structure).
 
@@ -498,10 +717,20 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
         interpret=interpret,
     )(q, ef)
 
+    # chunk_rows > 0 (dense only): row-chunked flux arithmetic — the
+    # register/VMEM-streaming-pressure probe kernel
+    if dense and chunk_rows:
+        fd_kernel = functools.partial(_fd_dir_dense_chunked_kernel,
+                                      rows_per_chunk=chunk_rows)
+        fd_opts = {}
+    else:
+        fd_kernel = _fd_dir_dense_kernel if dense else _fd_dir_kernel
+        fd_opts = {"view_acc": view_acc}
     parts = []
     for d in range(3):
         out_d = pl.pallas_call(
-            functools.partial(_fd_dir_kernel, n1=n1, gamma=gamma, d=d),
+            functools.partial(fd_kernel, n1=n1, gamma=gamma, d=d,
+                              **fd_opts),
             grid=(kp // kb,),
             in_specs=[
                 spec(nf, nh, kb), spec(2, nh, kb), spec(9, 1, kb),

@@ -11,6 +11,7 @@ tested against it to roundoff.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -65,14 +66,21 @@ def make_euler_rhs_fused(
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
     # volume_mode: 'joint' = the all-in-one kernel; 'split' = projection
-    # kernel + per-direction fd kernels + XLA combine (faster at N>=4,
-    # where the joint kernel's size degrades Mosaic scheduling —
-    # PARITY.md round 3); 'auto' picks by order (affine meshes only for
-    # 'split').
+    # kernel + per-direction fd kernels + XLA combine (fastest at N>=4);
+    # 'split_dense' = split with dense flat-partner fd kernels (every op
+    # at flat (Nq, KB) tiles; measured SLOWER than triangular at both
+    # N=3 and N=4 — kept as the controlled experiment that rules out
+    # odd-extent sublane slicing as the N=4 cost driver, PARITY.md
+    # round 3); 'auto' picks by order (affine meshes only for the split
+    # variants).
     if volume_mode == "auto":
-        volume_mode = ("split" if disc.n >= 4 and disc.affine else "joint")
-    if volume_mode == "split":
-        from ..ops.pallas_volume import euler_volume_split_pallas as _vol
+        volume_mode = ("split" if disc.n >= 4 and disc.affine
+                       else "joint")
+    if volume_mode in ("split", "split_dense"):
+        from ..ops.pallas_volume import euler_volume_split_pallas
+
+        _vol = functools.partial(euler_volume_split_pallas,
+                                 dense=volume_mode == "split_dense")
     else:
         _vol = euler_volume_pallas
 

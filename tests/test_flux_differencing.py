@@ -141,10 +141,12 @@ def test_fused_rhs_free_stream_cpu():
         ef_mod.euler_surface_pallas = orig_s
 
 
-def test_fused_rhs_matches_lines_n4_f64():
+@pytest.mark.parametrize("mode", ["joint", "split", "split_dense"])
+def test_fused_rhs_matches_lines_n4_f64(mode):
     """The fused kernels are correct at N=4 too (f64, interpret mode):
-    the builder defaults to the faster lines path for N>=4, but
-    force_fused must agree with it to roundoff."""
+    all three volume_mode variants (joint all-in-one kernel, split
+    per-direction triangular kernels, split dense flat-partner kernels)
+    must agree with the XLA lines path to roundoff."""
     from esdg_cns_tpu.presets import euler_hex_3d
     from esdg_cns_tpu.solvers import make_euler_rhs
     from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
@@ -153,7 +155,7 @@ def test_fused_rhs_matches_lines_n4_f64():
     a, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
                           compute_rhstest=False)(q0)
     b, _ = make_euler_rhs_fused(disc, dissipation=True, force_fused=True,
-                                interpret=True)(q0)
+                                interpret=True, volume_mode=mode)(q0)
     scale = float(jnp.abs(jnp.asarray(a)).max())
     np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                rtol=1e-11, atol=1e-11)
