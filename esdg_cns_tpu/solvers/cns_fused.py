@@ -69,9 +69,14 @@ def make_cns_rhs_affine(
       'xla'   — stacked front-end GEMM + flux_diff_impl kernel.
       'fused' — the whole inviscid volume stage (projection, inverse
         map, flux differencing, Ph) plus the trace/viscous front end
-        runs as ONE Pallas kernel (ops.pallas_modal_volume);
+        runs as ONE Pallas kernel (ops.pallas_modal_volume, tri only);
         flux_diff_impl is ignored.  `interpret` runs it in interpreter
         mode (CPU tests).
+      'fused_hex' — collocated-hex variant: the inviscid volume stage
+        rides the Euler fused volume kernel (ops.pallas_volume); the
+        viscous front end collapses because Pq = I on Gauss-collocated
+        hexes (vuq = v(U), vqd = D_r v, vuf = Ef v).  flux_diff_impl is
+        ignored.
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -88,8 +93,14 @@ def make_cns_rhs_affine(
     nh = disc.nh
     re = (1.0 / mu) if re is None else re
 
-    # the fused volume kernel contains its own flux differencing
-    fd = (None if volume_impl == "fused"
+    if volume_impl == "fused_hex" and (
+        disc.elem_type != "hex" or disc.line_ops is None
+    ):
+        raise ValueError("volume_impl='fused_hex' requires a collocated "
+                         "hex discretization")
+
+    # the fused volume kernels contain their own flux differencing
+    fd = (None if volume_impl in ("fused", "fused_hex")
           else resolve_flux_diff(disc, flux_diff_impl))
     adiab = adiabatic_mask(disc, bc)
     gather = disc.gather_traces if gather_fn is None else gather_fn
@@ -101,7 +112,9 @@ def make_cns_rhs_affine(
     vqlift = mm(disc.vq, disc.lift)                  # [Nq, Nfq]
     drpq = [mm(di, disc.pq) for di in disc.d]        # dim x [Np, Nq]
     vqdrpq = [mm(disc.vq, dp) for dp in drpq]        # dim x [Nq, Nq]
-    if volume_impl == "fused":
+    if volume_impl == "fused_hex":
+        front = None                                 # Pq = I: nothing left
+    elif volume_impl == "fused":
         # the fused kernel produces raw v(U) at quadrature; only the
         # projected rows remain for XLA
         front = jnp.concatenate([vqpq, *vqdrpq], axis=0)
@@ -154,7 +167,38 @@ def make_cns_rhs_affine(
         vqd = [fr[:, (1 + r) * nq:(2 + r) * nq] for r in range(dim)]
         return qm, uf, qm_log, vuf, vuq, vqd, ph_qf
 
-    front_fn = front_fused if volume_impl == "fused" else front_xla
+    def front_fused_hex(q):
+        # Gauss-collocated hex: Vq = Pq = I, so the viscous front end is
+        # pointwise/operator-direct (vuq = v(U), vqd = D_r v, vuf = Ef v)
+        # and the whole inviscid volume stage rides the Euler fused
+        # kernel (projection, inverse map, line fd, Ph in VMEM).
+        from ..ops.pallas_volume import euler_volume_pallas
+
+        ph_qf, tr = euler_volume_pallas(
+            q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
+            nq=nq, line_ops=disc.line_ops, interpret=interpret,
+        )
+        qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
+        qm_log = tr[nfields:nfields + 2]
+        # conservative face values from the flux variables (pointwise)
+        rho = qm[0]
+        vel = [qm[1 + d] for d in range(dim)]
+        beta = qm[nfields - 1]
+        u2 = sum(v * v for v in vel)
+        e = rho / (2.0 * beta * (gamma - 1.0)) + 0.5 * rho * u2
+        uf = jnp.concatenate(
+            [rho[None]] + [(rho * v)[None] for v in vel] + [e[None]], axis=0
+        )
+        vu_q = phys.v_ufun(q, gamma)
+        # same composed operators as the xla path (on collocated hexes
+        # vqdrpq = D_r and vhp[nq:] = Ef up to setup roundoff)
+        vqd = [_apply(vqdrpq[r], vu_q) for r in range(dim)]
+        vuf = _apply(disc.vhp[nq:], vu_q)
+        return qm, uf, qm_log, vuf, vu_q, vqd, ph_qf
+
+    front_fn = {
+        "fused": front_fused, "fused_hex": front_fused_hex,
+    }.get(volume_impl, front_xla)
 
     def rhs(q, t=0.0):
         # ---- fused entropy/volume front end ----

@@ -44,6 +44,36 @@ def test_affine_matches_reference_path(cfg):
             assert abs(va - vb) < 1e-9 * max(abs(va), 1.0), (key, va, vb)
 
 
+def test_fused_hex_matches_xla_3d_cavity():
+    """volume_impl='fused_hex' (inviscid volume via the Euler collocated
+    hex kernel, Pq = I viscous front end) == the xla affine path on the
+    3D cavity, wall BCs and dissipation on."""
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=2)
+    rng = np.random.default_rng(1)
+    q = q0 + 5e-4 * jnp.asarray(rng.standard_normal(q0.shape)) \
+        * jnp.asarray([1.0, 0.1, 0.1, 0.1, 1.0])[:, None, None]
+    flags = dict(bc=bc, mu=p["mu"], pr=p["pr"], re=p["re"],
+                 inviscid_dissipation=True, viscous_dissipation=True)
+    dq_a, aux_a = jax.jit(make_cns_rhs_affine(disc, **flags))(q, 0.0)
+    dq_b, aux_b = jax.jit(make_cns_rhs_affine(
+        disc, **flags, volume_impl="fused_hex", interpret=True))(q, 0.0)
+    scale = float(jnp.abs(dq_a).max())
+    # vuq rides raw v(U) instead of (Vq Pq) v(U): identical up to the
+    # setup-time roundoff of Vq Pq = I on the collocated element
+    assert float(jnp.abs(dq_a - dq_b).max()) < 1e-9 * scale
+    for key in ("rhstest", "rhstest_visc", "rhstest_visc_total"):
+        va, vb = float(aux_a[key]), float(aux_b[key])
+        assert abs(va - vb) < 1e-8 * max(abs(va), 1.0), (key, va, vb)
+
+
+def test_fused_hex_requires_collocated_hex():
+    disc, _, _, p = lid_driven_cavity(n=2, k1d=2)
+    with pytest.raises(ValueError):
+        make_cns_rhs_affine(disc, mu=p["mu"], volume_impl="fused_hex")
+
+
 def test_affine_requires_affine_mesh():
     from esdg_cns_tpu.presets import euler_hex_3d
 
