@@ -286,18 +286,25 @@ def bench_cns_cavity():
 
 def bench_cns_cavity_3d():
     """3D CNS cavity (beyond-reference): N=3 collocated hex, wall BCs,
-    affine composed-operator path with line-sparse flux differencing."""
+    affine path with the inviscid volume stage on the Euler fused
+    Pallas kernel (volume_impl='fused_hex'; the XLA lines path measured
+    7.3e8 vs fused_hex 1.25e9 DOF*stage/s, round 3)."""
     n = int(os.environ.get("BENCH_N", 3))
     k1d = int(os.environ.get("BENCH_K1D", 16))
     steps = int(os.environ.get("BENCH_STEPS", 60))  # dispatch amortization
-    if jax.devices()[0].platform == "cpu":
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:
         k1d = int(os.environ.get("BENCH_K1D", 4))
 
     disc, q0, bc, p = lid_driven_cavity_3d(n=n, k1d=k1d, dtype=jnp.float32)
+    volume_impl = os.environ.get(
+        "BENCH_VOLUME_IMPL", "lines" if on_cpu else "fused_hex")
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
         inviscid_dissipation=True, viscous_dissipation=True,
-        flux_diff_impl="lines", compute_rhstest=False,
+        **({"flux_diff_impl": volume_impl} if volume_impl.startswith("lines")
+           else {"volume_impl": volume_impl, "interpret": on_cpu}),
+        compute_rhstest=False,
     )
     elapsed = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements

@@ -49,7 +49,7 @@ class SimConfig:
     inviscid_dissipation: bool = True
     viscous_dissipation: bool = False
     flux_diff_impl: str = "auto"  # auto|xla|lines|lines_pallas|pallas|fused
-    cns_volume_impl: str = "auto"  # CNS on affine meshes: auto|xla|fused
+    cns_volume_impl: str = "auto"  # CNS affine: auto|xla|fused|fused_hex
                                    # ('auto' = composed-operator affine path
                                    # when applicable, else the generic RHS)
     rhstest_mode: str = "native"   # native|compensated|f64 diagnostics
@@ -156,20 +156,38 @@ def build_problem(cfg: SimConfig, bc=None):
                 "cns_volume_impl='fused' requires an affine tri mesh "
                 f"(got elem_type={disc.elem_type!r}, affine={disc.affine})"
             )
+        collocated_hex = (disc.elem_type == "hex"
+                          and disc.line_ops is not None)
+        if cfg.cns_volume_impl == "fused_hex" and not (
+            disc.affine and collocated_hex
+        ):
+            raise ValueError(
+                "cns_volume_impl='fused_hex' requires an affine "
+                "collocated hex mesh "
+                f"(got elem_type={disc.elem_type!r}, affine={disc.affine})"
+            )
         if cfg.cns_volume_impl != "xla" and disc.affine:
             # production path: composed affine operators; the fused
             # modal volume kernel is designed for (and validated on)
-            # modal tri elements, on TPU ('auto') or anywhere when
-            # forced ('fused', interpreted off-TPU)
+            # modal tri elements — collocated hexes ride the Euler
+            # fused volume kernel ('fused_hex') — on TPU ('auto') or
+            # anywhere when forced (interpreted off-TPU)
             on_tpu = jax.devices()[0].platform == "tpu"
             use_fused = disc.elem_type == "tri" and (
                 cfg.cns_volume_impl == "fused"
                 or (cfg.cns_volume_impl == "auto" and on_tpu)
             )
+            use_fused_hex = collocated_hex and (
+                cfg.cns_volume_impl == "fused_hex"
+                or (cfg.cns_volume_impl == "auto" and on_tpu)
+            )
+            volume_impl = ("fused" if use_fused
+                           else "fused_hex" if use_fused_hex else "xla")
             rhs = make_cns_rhs_affine(
                 disc, flux_diff_impl=fd_impl,
-                volume_impl="fused" if use_fused else "xla",
-                interpret=use_fused and not on_tpu, **kw,
+                volume_impl=volume_impl,
+                interpret=(use_fused or use_fused_hex) and not on_tpu,
+                **kw,
             )
         else:
             rhs = make_cns_rhs(

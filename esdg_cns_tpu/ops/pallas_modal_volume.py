@@ -111,7 +111,7 @@ def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
     jax.jit, static_argnames=("gamma", "nq", "block_k", "interpret")
 )
 def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
-                              block_k: int = 256, interpret: bool = False):
+                              block_k: int = 1024, interpret: bool = False):
     """Fused modal volume stage.
 
     Args:

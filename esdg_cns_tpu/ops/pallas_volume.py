@@ -219,13 +219,15 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def default_block_k(nq: int) -> int:
-    """Element-block width for the fused kernels.  Mosaic requires the
-    block's lane dimension to be a multiple of 128 (or the full axis),
-    and the raised VMEM budget fits the N=4 unrolled-line temporaries
-    at full lane width, so 128 is right for every supported order."""
-    del nq
-    return 128
+def default_block_k(n: int, volume_mode: str = "joint") -> int:
+    """Element-block width for the fused Euler kernels (measured on the
+    v5e, examples/r3_variant_study.py).  128 lanes is fastest through
+    N=3 (3.24e9 DOF*stage/s at N=3; wider blocks only add VMEM traffic
+    there), but at N>=4 the sublane-misaligned n1=5 line arithmetic is
+    per-op-overhead-bound and WIDER lane blocks amortize it: the split
+    path at block_k=512 runs 2.25x faster than at 128 (full RHS 5.84 ms
+    vs 13.15 ms at K=13824)."""
+    return 512 if n >= 4 else 128
 
 
 @functools.partial(

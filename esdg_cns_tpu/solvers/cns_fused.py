@@ -60,6 +60,7 @@ def make_cns_rhs_affine(
     gather_fn=None,
     psum_axis: Optional[str] = None,
     interpret: bool = False,
+    block_k: Optional[int] = None,
 ):
     """Composed-operator CNS RHS for affine meshes (tri/quad/hex).
 
@@ -157,6 +158,7 @@ def make_cns_rhs_affine(
         ph_qf, tr, vu_q = euler_modal_volume_pallas(
             q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph, gamma,
             nq=nq, interpret=interpret,
+            **({} if block_k is None else {"block_k": block_k}),
         )
         qm = tr[:nfields]
         uf = tr[nfields:2 * nfields]
@@ -177,6 +179,7 @@ def make_cns_rhs_affine(
         ph_qf, tr = euler_volume_pallas(
             q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, interpret=interpret,
+            **({} if block_k is None else {"block_k": block_k}),
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]

@@ -40,12 +40,14 @@ def make_euler_rhs_fused(
 
     The round-3 matched-DOF study (PARITY.md, examples/n4_perf_study.py)
     corrected the round-2 comparison: with dispatch-floor-calibrated
-    timing at N=4, K=13824 the fused kernel is the FASTEST path
-    (14.6 ms vs lines 16.0 / lines_pallas 17.4), so it is now the
-    default through N=4 (its unrolled-line temporaries need the 100 MB
-    scoped-VMEM budget set in ops.pallas_volume).  N >= 5 still falls
-    back to the XLA lines path: the kernel stack grows another ~2x and
-    is unmeasured there."""
+    timing at N=4, K=13824 the fused kernel is the FASTEST path, and
+    the block_k sweep closed the N=4 cliff — the split path at its
+    default 512-lane blocks runs the full RHS at 1.48e9 DOF*stage/s
+    (vs 6.6e8 at 128-lane blocks; n1=5 sublane-misaligned ops are
+    per-op-overhead-bound, amortized by lane width).  The unrolled-line
+    temporaries need the 100 MB scoped-VMEM budget set in
+    ops.pallas_volume.  N >= 5 still falls back to the XLA lines path:
+    the kernel stack grows another ~2x and is unmeasured there."""
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
     if disc.n >= 5 and not force_fused:
@@ -57,10 +59,6 @@ def make_euler_rhs_fused(
             rhstest_mode=rhstest_mode,
             gather_fn=gather_fn, psum_axis=psum_axis,
         )
-    if block_k is None:
-        from ..ops.pallas_volume import default_block_k
-
-        block_k = default_block_k(disc.nq)
     nq = disc.nq
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn
@@ -83,6 +81,10 @@ def make_euler_rhs_fused(
                                  dense=volume_mode == "split_dense")
     else:
         _vol = euler_volume_pallas
+    if block_k is None:
+        from ..ops.pallas_volume import default_block_k
+
+        block_k = default_block_k(disc.n, volume_mode)
 
     nxj = jnp.stack(disc.nxj)
 

@@ -123,6 +123,67 @@ def n4_blockk():
               f"{dof/(ms/1e3):.3e} DOF*stage/s (volume only)")
 
 
+def full_rhs_blockk():
+    """Full-RHS block_k sweep across every fused production path —
+    the volume-stage sweep found block_k=512 2.4x faster than 128 at
+    N=4 (lane-width amortization of per-pair sublane overhead)."""
+    from esdg_cns_tpu.presets import (euler_hex_3d, lid_driven_cavity,
+                                      lid_driven_cavity_3d)
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+    from esdg_cns_tpu.solvers.cns_fused import make_cns_rhs_affine
+
+    blocks = tuple(int(b) for b in
+                   os.environ.get("BLOCKS", "128,256,512,1024").split(","))
+
+    def sweep(label, dof, mk, q0):
+        print(f"\n=== {label} (DOF={dof/1e6:.2f}M) ===")
+        floor = dispatch_floor(q0)
+        for bk in blocks:
+            try:
+                rhs = mk(bk)
+                ms = timeit(lambda q: rhs(q)[0], q0) - floor
+            except Exception as e:  # noqa: BLE001
+                print(f"  block_k={bk:5d}: FAILED ({type(e).__name__}: "
+                      f"{str(e)[:100]})")
+                continue
+            print(f"  block_k={bk:5d}: {ms:7.3f} ms/RHS -> "
+                  f"{dof/(ms/1e3):.3e} DOF*stage/s")
+
+    if os.environ.get("SWEEP_EULER3", "1") == "1":
+        disc, q0 = euler_hex_3d(n=3, k1d=32, dtype=jnp.float32)
+        sweep("Euler N=3 K=32768 joint", 5 * disc.np_ * disc.num_elements,
+              lambda bk: make_euler_rhs_fused(disc, dissipation=True,
+                                              block_k=bk), q0)
+    if os.environ.get("SWEEP_EULER4", "1") == "1":
+        mode = os.environ.get("PERF_VOLUME_MODE", "auto")
+        disc, q0 = euler_hex_3d(n=4, k1d=24, dtype=jnp.float32)
+        sweep(f"Euler N=4 K=13824 {mode}", 5 * disc.np_ * disc.num_elements,
+              lambda bk: make_euler_rhs_fused(disc, dissipation=True,
+                                              force_fused=True,
+                                              volume_mode=mode,
+                                              block_k=bk), q0)
+    if os.environ.get("SWEEP_CNS2D", "1") == "1":
+        disc, q0, bc, p = lid_driven_cavity(n=3, k1d=128,
+                                            dtype=jnp.float32)
+        sweep("CNS 2D cavity N=3 K=32768 fused",
+              4 * disc.np_ * disc.num_elements,
+              lambda bk: make_cns_rhs_affine(
+                  disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+                  inviscid_dissipation=True, viscous_dissipation=True,
+                  volume_impl="fused", compute_rhstest=False,
+                  block_k=bk), q0)
+    if os.environ.get("SWEEP_CNS3D", "1") == "1":
+        disc, q0, bc, p = lid_driven_cavity_3d(n=3, k1d=16,
+                                               dtype=jnp.float32)
+        sweep("CNS 3D cavity N=3 K=4096 fused_hex",
+              5 * disc.np_ * disc.num_elements,
+              lambda bk: make_cns_rhs_affine(
+                  disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+                  inviscid_dissipation=True, viscous_dissipation=True,
+                  volume_impl="fused_hex", compute_rhstest=False,
+                  block_k=bk), q0)
+
+
 if __name__ == "__main__":
     which = os.environ.get("STUDY", "both")
     if which in ("both", "cavity"):
@@ -131,3 +192,5 @@ if __name__ == "__main__":
         n4_variants()
     if which == "blockk":
         n4_blockk()
+    if which == "rhs_blockk":
+        full_rhs_blockk()
