@@ -44,13 +44,15 @@ def make_euler_rhs_fused(
     the block_k sweep closed the N=4 cliff — the split path at its
     default 512-lane blocks runs the full RHS at 1.48e9 DOF*stage/s
     (vs 6.6e8 at 128-lane blocks; n1=5 sublane-misaligned ops are
-    per-op-overhead-bound, amortized by lane width).  The unrolled-line
+    per-op-overhead-bound, amortized by lane width), and the same
+    recipe carries N=5 to 1.57e9 vs the lines path's 6.3e8 (K=4096),
+    so fused-split is the default through N=5.  The unrolled-line
     temporaries need the 100 MB scoped-VMEM budget set in
-    ops.pallas_volume.  N >= 5 still falls back to the XLA lines path:
-    the kernel stack grows another ~2x and is unmeasured there."""
+    ops.pallas_volume.  N >= 6 still falls back to the XLA lines path:
+    the kernel stack grows further and is unmeasured there."""
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
-    if disc.n >= 5 and not force_fused:
+    if disc.n >= 6 and not force_fused:
         from .euler import make_euler_rhs
 
         return make_euler_rhs(

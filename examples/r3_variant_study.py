@@ -184,6 +184,40 @@ def full_rhs_blockk():
                   block_k=bk), q0)
 
 
+def n5_study():
+    """N=5: is the (degree-generic, equality-tested) fused split path
+    with wide lane blocks faster than the XLA lines fallback?"""
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    k1d = int(os.environ.get("PERF_K1D", 16))
+    disc, q0 = euler_hex_3d(n=5, k1d=k1d, dtype=jnp.float32)
+    dof = 5 * disc.np_ * disc.num_elements
+    print(f"\n=== N=5, K={disc.num_elements}, DOF={dof/1e6:.2f}M ===")
+    floor = dispatch_floor(q0)
+    print(f"  dispatch floor: {floor:7.3f} ms/rep")
+    runs = [("lines (prod fallback)",
+             make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
+                            compute_rhstest=False))]
+    for bk in (int(b) for b in
+               os.environ.get("BLOCKS", "256,512").split(",")):
+        runs.append((f"fused split bk={bk}",
+                     make_euler_rhs_fused(disc, dissipation=True,
+                                          force_fused=True,
+                                          volume_mode="split",
+                                          block_k=bk)))
+    for label, rhs in runs:
+        try:
+            ms = timeit(lambda q: rhs(q)[0], q0) - floor
+        except Exception as e:  # noqa: BLE001
+            print(f"  {label:22s}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:100]})")
+            continue
+        print(f"  {label:22s}: {ms:7.3f} ms/RHS -> "
+              f"{dof/(ms/1e3):.3e} DOF*stage/s")
+
+
 if __name__ == "__main__":
     which = os.environ.get("STUDY", "both")
     if which in ("both", "cavity"):
@@ -194,3 +228,5 @@ if __name__ == "__main__":
         n4_blockk()
     if which == "rhs_blockk":
         full_rhs_blockk()
+    if which == "n5":
+        n5_study()

@@ -161,6 +161,23 @@ def test_fused_rhs_matches_lines_n4_f64(mode):
                                rtol=1e-11, atol=1e-11)
 
 
+def test_fused_rhs_matches_lines_n5_f64():
+    """N=5 now defaults to the fused split path (1.57e9 vs lines 6.3e8
+    DOF*stage/s on the v5e, PARITY round 3); correctness vs lines."""
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    disc, q0 = euler_hex_3d(n=5, k1d=2)
+    a, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
+                          compute_rhstest=False)(q0)
+    b, _ = make_euler_rhs_fused(disc, dissipation=True,
+                                interpret=True)(q0)
+    scale = float(jnp.abs(jnp.asarray(a)).max())
+    np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                               rtol=1e-11, atol=1e-11)
+
+
 @pytest.mark.parametrize("impl", ["lines_perm", "lines_rot"])
 @pytest.mark.parametrize("n", [2, 4])
 def test_layout_variants_match_lines_hex(impl, n):
