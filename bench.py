@@ -6,9 +6,11 @@ Configs (BENCH_CONFIG):
   cns_cavity     — 2D CNS lid-driven cavity, N=3 tri, affine composed
                    path (reference dg2D_CNS_cavity_optimized.jl).
   cns_cavity_3d  — 3D CNS cavity, N=3 collocated hex (beyond-reference
-                   capability).
-  all (default)  — run all three; the Euler number is the primary
-                   metric, the CNS numbers ride in "extras".
+                   capability), fused_hex volume path.
+  euler_hex_n4   — N=4 hex Euler at matched DOF (K=24^3): pins the
+                   closed N=4 cliff (512-lane split kernels).
+  all (default)  — run all four; the p=3 Euler number is the primary
+                   metric, the rest ride in "extras".
 
 Prints ONE JSON line:
   {"metric": "dof_rk_stage_per_s", "value": ..., "unit": "DOF*stage/s",
@@ -214,10 +216,10 @@ def _with_roofline(disc, elapsed_per_stage, model):
 # -----------------------------------------------------------------------------
 
 
-def bench_euler_hex():
+def bench_euler_hex(n_default=3, k1d_default=32):
     """Headline config: p=3 3D Euler hex, fused Pallas path."""
-    n = int(os.environ.get("BENCH_N", 3))
-    k1d = int(os.environ.get("BENCH_K1D", 32))
+    n = int(os.environ.get("BENCH_N", n_default))
+    k1d = int(os.environ.get("BENCH_K1D", k1d_default))
     # 60 steps = 300 RK stages per jit call: the ~30 ms per-call
     # dispatch latency then biases the rate by <3% (it was ~8% at the
     # round-2 default of 20 steps)
@@ -240,13 +242,20 @@ def bench_euler_hex():
     dof = 5 * disc.np_ * disc.num_elements
     stage_s = elapsed / (5 * steps)
     out = {
-        "metric": "dof_rk_stage_per_s",
+        "metric": ("dof_rk_stage_per_s" if n == 3
+                   else f"dof_rk_stage_per_s_n{n}"),
         "value": dof * 5 * steps / elapsed,
         "unit": "DOF*stage/s",
         "baseline": NORTH_STAR,
     }
     out["roofline"] = _with_roofline(disc, stage_s, _roofline_euler_hex_fused)
     return out
+
+
+def bench_euler_hex_n4():
+    """N=4 hex Euler at matched DOF (K=24^3, 8.64M): pins the closed
+    N=4 cliff (fused split kernels, 512-lane blocks; PARITY round 3)."""
+    return bench_euler_hex(n_default=4, k1d_default=24)
 
 
 def bench_cns_cavity():
@@ -323,6 +332,7 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "all")
     runners = {
         "euler_hex": bench_euler_hex,
+        "euler_hex_n4": bench_euler_hex_n4,
         "cns_cavity": bench_cns_cavity,
         "cns_cavity_3d": bench_cns_cavity_3d,
     }
@@ -334,7 +344,7 @@ def main():
     # default: all three; Euler is the primary metric
     primary = bench_euler_hex()
     extras = {}
-    for name in ("cns_cavity", "cns_cavity_3d"):
+    for name in ("cns_cavity", "cns_cavity_3d", "euler_hex_n4"):
         try:
             r = runners[name]()
             r["vs_baseline"] = r["value"] / r.pop("baseline")

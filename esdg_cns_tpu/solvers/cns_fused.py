@@ -173,13 +173,21 @@ def make_cns_rhs_affine(
         # Gauss-collocated hex: Vq = Pq = I, so the viscous front end is
         # pointwise/operator-direct (vuq = v(U), vqd = D_r v, vuf = Ef v)
         # and the whole inviscid volume stage rides the Euler fused
-        # kernel (projection, inverse map, line fd, Ph in VMEM).
-        from ..ops.pallas_volume import euler_volume_pallas
+        # kernel (projection, inverse map, line fd, Ph in VMEM); at
+        # N>=4 the split form with wide lane blocks, exactly as the
+        # Euler 'auto' mode (PARITY round 3).
+        from ..ops.pallas_volume import (default_block_k,
+                                         euler_volume_pallas,
+                                         euler_volume_split_pallas)
 
-        ph_qf, tr = euler_volume_pallas(
+        split = disc.n >= 4
+        vol = euler_volume_split_pallas if split else euler_volume_pallas
+        bk = (default_block_k(disc.n, "split" if split else "joint")
+              if block_k is None else block_k)
+        ph_qf, tr = vol(
             q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, interpret=interpret,
-            **({} if block_k is None else {"block_k": block_k}),
+            block_k=bk,
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]

@@ -44,13 +44,15 @@ def test_affine_matches_reference_path(cfg):
             assert abs(va - vb) < 1e-9 * max(abs(va), 1.0), (key, va, vb)
 
 
-def test_fused_hex_matches_xla_3d_cavity():
+@pytest.mark.parametrize("n", [2, 4])
+def test_fused_hex_matches_xla_3d_cavity(n):
     """volume_impl='fused_hex' (inviscid volume via the Euler collocated
     hex kernel, Pq = I viscous front end) == the xla affine path on the
-    3D cavity, wall BCs and dissipation on."""
+    3D cavity, wall BCs and dissipation on.  n=4 exercises the split
+    volume branch (wide lane blocks, PARITY round 3)."""
     from esdg_cns_tpu.presets import lid_driven_cavity_3d
 
-    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=2)
+    disc, q0, bc, p = lid_driven_cavity_3d(n=n, k1d=2)
     rng = np.random.default_rng(1)
     q = q0 + 5e-4 * jnp.asarray(rng.standard_normal(q0.shape)) \
         * jnp.asarray([1.0, 0.1, 0.1, 0.1, 1.0])[:, None, None]
