@@ -185,16 +185,18 @@ def full_rhs_blockk():
 
 
 def n5_study():
-    """N=5: is the (degree-generic, equality-tested) fused split path
-    with wide lane blocks faster than the XLA lines fallback?"""
+    """High degree (PERF_N, default 5): is the (degree-generic,
+    equality-tested) fused split path with wide lane blocks faster
+    than the XLA lines fallback?"""
     from esdg_cns_tpu.presets import euler_hex_3d
     from esdg_cns_tpu.solvers import make_euler_rhs
     from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
 
+    n = int(os.environ.get("PERF_N", 5))
     k1d = int(os.environ.get("PERF_K1D", 16))
-    disc, q0 = euler_hex_3d(n=5, k1d=k1d, dtype=jnp.float32)
+    disc, q0 = euler_hex_3d(n=n, k1d=k1d, dtype=jnp.float32)
     dof = 5 * disc.np_ * disc.num_elements
-    print(f"\n=== N=5, K={disc.num_elements}, DOF={dof/1e6:.2f}M ===")
+    print(f"\n=== N={n}, K={disc.num_elements}, DOF={dof/1e6:.2f}M ===")
     floor = dispatch_floor(q0)
     print(f"  dispatch floor: {floor:7.3f} ms/rep")
     runs = [("lines (prod fallback)",
