@@ -215,6 +215,22 @@ def build_discretization(
     if np.any(jac_np <= 0):
         raise ValueError("non-positive Jacobian: inverted element")
 
+    # snap sub-roundoff metric entries to exact zero: on axis-aligned
+    # meshes the off-diagonal geofacs (and off-axis normal components
+    # below) are pure setup-matmul noise (~1e-16 absolute from O(1)
+    # coordinates); zeroing them makes the axis-aligned kernel
+    # specialization (ops.pallas_volume diag=True) bit-consistent with
+    # the general contraction.  The curl-form noise reaches ~6e-13 of
+    # the metric scale (measured at N=4: D entries O(10) x coordinate
+    # products O(1) in f64), so the gate is 1e-11 relative — still far
+    # below any legitimate metric entry (that would need aspect ratio
+    # 1e11), hence lossless on every mesh.
+    def _snap(arrs):
+        scale = max(np.abs(a).max() for a in arrs)
+        return [np.where(np.abs(a) < 1e-11 * scale, 0.0, a) for a in arrs]
+
+    geo_list = _snap(geo_list)
+
     # surface normals: nxJ = sum_r (Vf @ geo[r,x]) * nhat_r  (SetupDG.jl:312)
     nxj_np = []
     for xdir in range(dim):
@@ -222,6 +238,7 @@ def build_discretization(
         for rdir in range(dim):
             acc += (ref.vf @ geo_list[rdir * dim + xdir]) * ref.nrst_j[rdir][:, None]
         nxj_np.append(acc)
+    nxj_np = _snap(nxj_np)
     sj_np = np.sqrt(sum(v**2 for v in nxj_np))
 
     # interpolate geofacs to hybridized points; collapse if affine

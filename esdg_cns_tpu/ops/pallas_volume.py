@@ -33,7 +33,7 @@ from .tensor_product_fd import LineOps, _hex_line_coeffs
 
 def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
                    ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma,
-                   curved, view_acc=False):
+                   curved, view_acc=False, diag=False):
     nq = n1 ** 3
     nfp = n1 * n1
     nf = q_ref.shape[0]
@@ -109,8 +109,16 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
         vshape = (*shape, kb)
         vol_d = [v.reshape(vshape) for v in vol]
         log_d = [l.reshape(vshape) for l in vlog]
+        # diag (axis-aligned affine mesh): geo[d*3+x] == 0 for x != d, so
+        # only direction d's flux assembly and ONE metric multiply are
+        # needed per pair (the zero terms are runtime arrays Mosaic
+        # cannot eliminate — dropping them statically saves ~1/3 of the
+        # per-pair VPU ops, measured in PARITY.md round 3)
+        flux_dirs = (d,) if diag else None
         if curved:
             geo_d = [geo[d * 3 + x, :nq].reshape(vshape) for x in range(3)]
+        elif diag:
+            geo_d = [geo[d * 3 + d, 0].reshape((1,) * len(shape) + (kb,))]
         else:
             geo_d = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
                      for x in range(3)]
@@ -118,6 +126,8 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
         def contract(fluxes, gavg=None):
             # gavg: pre-averaged (and row-sliced) metric terms for the
             # curved path; None -> the element's affine/volume metrics
+            if diag:
+                return [geo_d[0] * fluxes[0][f] for f in range(nf)]
             out = []
             for f in range(nf):
                 t = None
@@ -162,7 +172,7 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
             li = tuple(axis_slice(l, ap) for l in log_d)
             qj = tuple(line_slice(v, ap) for v in vol_d)
             lj = tuple(line_slice(l, ap) for l in log_d)
-            fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+            fluxes = ec_flux_fields(qi, qj, li, lj, gamma, dirs=flux_dirs)
             gj = ([0.5 * (axis_slice(g, ap) + line_slice(g, ap))
                    for g in geo_d] if curved else None)
             fr = contract(fluxes, gj)
@@ -184,7 +194,7 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
             fvals = tuple(qh[f][rows].reshape(*fshape, kb) for f in range(nf))
             flog = tuple(qlog[l][rows].reshape(*fshape, kb) for l in range(2))
             fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
-                                    gamma)
+                                    gamma, dirs=flux_dirs)
             gj = ([0.5 * (geo_d[x] + geo[d * 3 + x, rows].reshape(*fshape, kb))
                    for x in range(3)] if curved else None)
             fr = contract(fluxes, gj)
@@ -219,6 +229,45 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def detect_axis_aligned(disc, tol: float = 1e-10) -> bool:
+    """True when the hex discretization's metric is diagonal and every
+    face-group normal has a single nonzero component (uniform/cartesian
+    meshes — the reference's only hex generator, UniformHexMesh.jl).
+
+    Host-side (eager numpy) — call at RHS-builder time, never under
+    jit.  The uniform-mesh off-axis entries are ~1e-14 relative setup
+    roundoff from the Vandermonde solves; tol is relative to the
+    largest metric entry.
+
+    Under a trace (shard_map/jit builds the RHS from tracer disc
+    leaves) this returns False — callers that shard a concrete global
+    disc first should detect eagerly and pass ``axis_aligned``
+    explicitly (parallel/sharding.py does).
+    """
+    if disc.elem_type != "hex" or disc.line_ops is None:
+        return False
+    if isinstance(disc.geo, jax.core.Tracer):
+        return False
+    geo = np.asarray(disc.geo)
+    if geo.shape[1] != 1:        # curved
+        return False
+    scale = np.abs(geo).max()
+    for d in range(3):
+        for x in range(3):
+            if x != d and np.abs(geo[d * 3 + x]).max() > tol * scale:
+                return False
+    nxj = np.stack([np.asarray(a) for a in disc.nxj])
+    nfp = nxj.shape[1] // 6
+    nscale = np.abs(nxj).max()
+    for fid in range(6):
+        d = fid // 2
+        rows = slice(fid * nfp, (fid + 1) * nfp)
+        for x in range(3):
+            if x != d and np.abs(nxj[x, rows]).max() > tol * nscale:
+                return False
+    return True
+
+
 def default_block_k(n: int, volume_mode: str = "joint") -> int:
     """Element-block width for the fused Euler kernels (measured on the
     v5e, examples/r3_variant_study.py).  128 lanes is fastest through
@@ -233,11 +282,12 @@ def default_block_k(n: int, volume_mode: str = "joint") -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
-                     "view_acc"),
+                     "view_acc", "diag"),
 )
 def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
                         line_ops: LineOps, block_k: int = 128,
-                        interpret: bool = False, view_acc: bool = False):
+                        interpret: bool = False, view_acc: bool = False,
+                        diag: bool = False):
     """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [7, Nfq, K])
     with traces = (rho, u1, u2, u3, beta, log rho, log beta) at the face
     points."""
@@ -268,7 +318,8 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
     iwf = jnp.asarray(np.repeat((1.0 / wf_np)[:, None], 128, axis=1), q.dtype)
 
     kernel = functools.partial(_volume_kernel, n1=n1, gamma=gamma,
-                               curved=curved, view_acc=view_acc)
+                               curved=curved, view_acc=view_acc,
+                               diag=diag and not curved)
     out, traces = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
@@ -363,7 +414,7 @@ def _proj_kernel(q_ref, ef_ref, qh_ref, qlog_ref, traces_ref, *, gamma):
 
 
 def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
-                   *, n1, gamma, d, view_acc=False):
+                   *, n1, gamma, d, view_acc=False, diag=False):
     """Split-path stage 2: ONE direction's triangular line-sparse flux
     differencing.  out rows: [0:nq) volume contribution, [nq:nq+nfp)
     minus-face rows, [nq+nfp:nq+2nfp) plus-face rows.
@@ -395,10 +446,18 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
     vshape = (*shape, kb)
     vol_d = [qh[f, :nq].reshape(vshape) for f in range(nf)]
     log_d = [qlog[l, :nq].reshape(vshape) for l in range(2)]
-    geo_d = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
-             for x in range(3)]
+    # diag: axis-aligned metric — only direction d's flux and one
+    # multiply per pair (see _volume_kernel)
+    flux_dirs = (d,) if diag else None
+    if diag:
+        geo_d = [geo[d * 3 + d, 0].reshape((1,) * len(shape) + (kb,))]
+    else:
+        geo_d = [geo[d * 3 + x, 0].reshape((1,) * len(shape) + (kb,))
+                 for x in range(3)]
 
     def contract(fluxes):
+        if diag:
+            return [geo_d[0] * fluxes[0][f] for f in range(nf)]
         out = []
         for f in range(nf):
             t = None
@@ -427,7 +486,7 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
         li = tuple(axis_slice(l, ap) for l in log_d)
         qj = tuple(line_slice(v, ap) for v in vol_d)
         lj = tuple(line_slice(l, ap) for l in log_d)
-        fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+        fluxes = ec_flux_fields(qi, qj, li, lj, gamma, dirs=flux_dirs)
         fr = contract(fluxes)
         c = axis_slice(cvol[d * n1 + ap, :, 0:1].reshape(*shape, 1), ap)
         zshape = list(shape) + [kb]
@@ -448,7 +507,7 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
         fvals = tuple(qh[f, rows].reshape(*fshape, kb) for f in range(nf))
         flog = tuple(qlog[l, rows].reshape(*fshape, kb) for l in range(2))
         fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d), flog,
-                                gamma)
+                                gamma, dirs=flux_dirs)
         fr = contract(fluxes)
         c = cface[fid, :, 0:1].reshape(*shape, 1)
         face_rows[side] = []
@@ -656,12 +715,13 @@ def _fd_dir_dense_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
-                     "dense", "view_acc", "chunk_rows"),
+                     "dense", "view_acc", "chunk_rows", "diag"),
 )
 def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
                               line_ops: LineOps, block_k: int = 128,
                               interpret: bool = False, dense: bool = False,
-                              view_acc: bool = False, chunk_rows: int = 0):
+                              view_acc: bool = False, chunk_rows: int = 0,
+                              diag: bool = False):
     """Split fused volume stage (affine hex): projection kernel + three
     per-direction fd kernels + an XLA combine (Ph structure).
 
@@ -728,6 +788,8 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
     else:
         fd_kernel = _fd_dir_dense_kernel if dense else _fd_dir_kernel
         fd_opts = {"view_acc": view_acc}
+        if not dense:
+            fd_opts["diag"] = diag
     parts = []
     for d in range(3):
         out_d = pl.pallas_call(
@@ -764,13 +826,20 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
 
 
 def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
-                    lift_ref, phqf_ref, out_ref, *, gamma, dissipation):
+                    lift_ref, phqf_ref, out_ref, *, gamma, dissipation,
+                    diag=False, nfp=0):
     """Fused surface stage: EC interface flux + LF dissipation + LIFT +
     combination with the volume part and the 1/J scaling.
 
     The LF wavespeeds of BOTH sides are computed locally from the
     exchanged conservative traces (pointwise), so lambda itself never
     crosses the interconnect.
+
+    diag: axis-aligned meshes — each face-group normal has exactly one
+    nonzero component, so the EC flux assembly and the normal
+    contraction run per direction on the 2*nfp contiguous face rows of
+    that direction (faces 2d and 2d+1 are adjacent row blocks), with
+    the wavespeed's normal momentum taken directly from component d.
     """
     gm1 = gamma - 1.0
     tr = tr_ref[...]
@@ -782,33 +851,60 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
     lift = lift_ref[...]
     phqf = phqf_ref[...]
 
-    qm = tuple(tr[i] for i in range(5))
-    qp = tuple(nbr[i] for i in range(5))
-    logs_m = (tr[5], tr[6])
-    logs_p = (nbr[5], nbr[6])
-    fluxes = ec_flux_fields(qm, qp, logs_m, logs_p, gamma)
-    flux = [sum(fluxes[x][f] * nxj[x] for x in range(3)) for f in range(5)]
+    def conservative(q5):
+        # (rho, u, beta) -> (rho, m, E) with p = rho/(2 beta)
+        rho, u1, u2, u3, beta = q5
+        u2norm = u1 * u1 + u2 * u2 + u3 * u3
+        e = rho / (2.0 * beta * gm1) + 0.5 * rho * u2norm
+        return rho, rho * u1, rho * u2, rho * u3, e
 
-    if dissipation:
-        def conservative(q):
-            # (rho, u, beta) -> (rho, m, E) with p = rho/(2 beta)
-            rho, u1, u2, u3, beta = (q[i] for i in range(5))
-            u2norm = u1 * u1 + u2 * u2 + u3 * u3
-            e = rho / (2.0 * beta * gm1) + 0.5 * rho * u2norm
-            return rho, rho * u1, rho * u2, rho * u3, e
+    def group_flux(qm, qp, logs_m, logs_p, nxj_g, sj_g, isj_g, dirs):
+        """EC flux + LF for one row group (or the whole face set)."""
+        fluxes = ec_flux_fields(qm, qp, logs_m, logs_p, gamma, dirs=dirs)
+        if dirs is None:
+            flux = [sum(fluxes[x][f] * nxj_g[x] for x in range(3))
+                    for f in range(5)]
+        else:
+            flux = [fluxes[0][f] * nxj_g[0] for f in range(5)]
+        if dissipation:
+            um = conservative(qm)
+            up = conservative(qp)
 
-        um = conservative(tr)
-        up = conservative(nbr)
+            def lam(u):
+                rho, m1, m2, m3, e = u
+                if dirs is None:
+                    un = (m1 * nxj_g[0] + m2 * nxj_g[1]
+                          + m3 * nxj_g[2]) * isj_g
+                else:
+                    un = (m1, m2, m3)[dirs[0]] * nxj_g[0] * isj_g
+                p = gm1 * (e - 0.5 * un * un / rho)
+                return jnp.abs(un / rho) + jnp.sqrt(gamma * p / rho)
 
-        def lam(u):
-            rho, m1, m2, m3, e = u
-            un = (m1 * nxj[0] + m2 * nxj[1] + m3 * nxj[2]) * isj
-            p = gm1 * (e - 0.5 * un * un / rho)
-            return jnp.abs(un / rho) + jnp.sqrt(gamma * p / rho)
+            lfc = 0.25 * jnp.maximum(lam(um), lam(up)) * sj_g
+            for f in range(5):
+                flux[f] = flux[f] - lfc * (up[f] - um[f])
+        return flux
 
-        lfc = 0.25 * jnp.maximum(lam(um), lam(up)) * sj
-        for f in range(5):
-            flux[f] = flux[f] - lfc * (up[f] - um[f])
+    if diag:
+        parts = []
+        for d in range(3):
+            rows = slice(2 * d * nfp, 2 * (d + 1) * nfp)
+            parts.append(group_flux(
+                tuple(tr[i, rows] for i in range(5)),
+                tuple(nbr[i, rows] for i in range(5)),
+                (tr[5, rows], tr[6, rows]),
+                (nbr[5, rows], nbr[6, rows]),
+                (nxj[d, rows],), sj[rows], isj[rows], (d,),
+            ))
+        flux = [jnp.concatenate([parts[d][f] for d in range(3)], axis=0)
+                for f in range(5)]
+    else:
+        flux = group_flux(
+            tuple(tr[i] for i in range(5)),
+            tuple(nbr[i] for i in range(5)),
+            (tr[5], tr[6]), (nbr[5], nbr[6]),
+            tuple(nxj[x] for x in range(3)), sj, isj, None,
+        )
 
     for f in range(5):
         out_ref[f] = -(phqf[f] + jnp.dot(
@@ -818,11 +914,12 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gamma", "dissipation", "block_k", "interpret")
+    jax.jit, static_argnames=("gamma", "dissipation", "block_k", "interpret",
+                              "diag")
 )
 def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
                          gamma, *, dissipation=True, block_k: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False, diag: bool = False):
     """Fused surface stage; returns the complete RHS dq [5, Nq, K]."""
     nfq, k = sj.shape
     nq = ph_qf.shape[1]
@@ -837,7 +934,8 @@ def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
     kp = k + pad
 
     kernel = functools.partial(_surface_kernel, gamma=gamma,
-                               dissipation=dissipation)
+                               dissipation=dissipation, diag=diag,
+                               nfp=nfq // 6)
     spec = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * (len(shape) - 1) + (i,),
         memory_space=pltpu.VMEM,

@@ -95,6 +95,13 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
                     "supported under shard_map; use the pjit path "
                     "(shard_discretization)"
                 )
+    # the fused_hex CNS volume path specializes on axis-aligned metrics;
+    # detection needs the concrete global disc (inside shard_map the
+    # leaves are tracers and detection is forced off)
+    if kw.get("volume_impl") == "fused_hex" and "axis_aligned" not in kw:
+        from ..ops.pallas_volume import detect_axis_aligned
+
+        kw["axis_aligned"] = detect_axis_aligned(disc)
     halo = build_halo_exchange(disc, n, axis)
     k = disc.num_elements
     disc_specs = partition_specs(disc, k, axis)
@@ -157,8 +164,14 @@ def make_sharded_euler_rhs_fused(mesh: Mesh, disc: Discretization,
     """
     from jax import shard_map
 
+    from ..ops.pallas_volume import detect_axis_aligned
     from ..solvers.euler_fused import make_euler_rhs_fused
     from .halo import build_hex_slab_halo
+
+    # detection needs concrete arrays; run it on the global disc HERE
+    # (inside shard_map the disc leaves are tracers and detection would
+    # be forced off)
+    kw.setdefault("axis_aligned", detect_axis_aligned(disc))
 
     n = mesh.shape[axis]
     halo = build_hex_slab_halo(disc, n, axis)

@@ -186,14 +186,20 @@ def psi_fun(u, gamma=GAMMA):
 # entropy-conservative two-point fluxes (Chandrashekar)
 # -----------------------------------------------------------------------------
 
-def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA):
+def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA,
+                   dirs=None):
     """EC two-point flux on unstacked field tuples.
 
     Args:
       ql_fields / qr_fields: tuples (rho, u_1..d, beta) of same-shape
         arrays; logs_l / logs_r: tuples (log rho, log beta).
+      dirs: optional tuple of direction indices to emit (default: all).
+        On axis-aligned meshes the metric contraction needs only ONE
+        direction per line/face, so the callers skip the other
+        directions' flux assembly entirely (the shared logmean/average
+        work is direction-independent and unaffected).
 
-    Returns a tuple over directions of per-field tuples
+    Returns a tuple over the requested directions of per-field tuples
     ((f_rho, f_mom..., f_e), ...).  No stacked-array indexing, so this
     core is usable inside Pallas kernels (Mosaic has no dynamic-slice /
     scatter on values).
@@ -201,6 +207,8 @@ def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA):
     rho_l, *vel_l, beta_l = ql_fields
     rho_r, *vel_r, beta_r = qr_fields
     dim = len(vel_l)
+    if dirs is None:
+        dirs = tuple(range(dim))
 
     rholog = logmean(rho_l, rho_r, logs_l[0], logs_r[0])
     # beta's logarithmic mean enters only through its RECIPROCAL, so
@@ -216,7 +224,7 @@ def ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma=GAMMA):
         + pa + 0.5 * rholog * vel_dot
 
     fluxes = []
-    for d in range(dim):
+    for d in dirs:
         f1 = rholog * velavg[d]
         fmom = [f1 * velavg[j] + (pa if j == d else 0.0) for j in range(dim)]
         fe = e_plus_p * velavg[d]

@@ -61,6 +61,7 @@ def make_cns_rhs_affine(
     psum_axis: Optional[str] = None,
     interpret: bool = False,
     block_k: Optional[int] = None,
+    axis_aligned: Optional[bool] = None,
 ):
     """Composed-operator CNS RHS for affine meshes (tri/quad/hex).
 
@@ -99,6 +100,14 @@ def make_cns_rhs_affine(
     ):
         raise ValueError("volume_impl='fused_hex' requires a collocated "
                          "hex discretization")
+    if volume_impl == "fused_hex":
+        from ..ops.pallas_volume import detect_axis_aligned
+
+        # build-time, host-side; under shard_map the caller must pass
+        # axis_aligned detected on the concrete global disc (detection
+        # on tracer leaves is forced off)
+        hex_diag = (detect_axis_aligned(disc) if axis_aligned is None
+                    else axis_aligned)
 
     # the fused volume kernels contain their own flux differencing
     fd = (None if volume_impl in ("fused", "fused_hex")
@@ -187,7 +196,7 @@ def make_cns_rhs_affine(
         ph_qf, tr = vol(
             q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, interpret=interpret,
-            block_k=bk,
+            block_k=bk, diag=hex_diag,
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]

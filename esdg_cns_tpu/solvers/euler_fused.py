@@ -35,6 +35,7 @@ def make_euler_rhs_fused(
     interpret: bool = False,
     force_fused: bool = False,
     volume_mode: str = "auto",
+    axis_aligned: Optional[bool] = None,
 ):
     """Fused-RHS builder; requires a collocated hex discretization.
 
@@ -65,6 +66,16 @@ def make_euler_rhs_fused(
     ef = disc.vhp[nq:]
     gather = disc.gather_traces if gather_fn is None else gather_fn
 
+    # axis_aligned: on uniform/cartesian meshes the metric is diagonal
+    # and each face group's normal has one nonzero component, so the
+    # kernels statically skip the cross-direction flux assembly and
+    # contraction terms (~1/3 of the per-pair VPU ops).  None = detect
+    # at build time (host-side numpy); the curved path is unaffected.
+    if axis_aligned is None:
+        from ..ops.pallas_volume import detect_axis_aligned
+
+        axis_aligned = detect_axis_aligned(disc)
+
     # volume_mode: 'joint' = the all-in-one kernel; 'split' = projection
     # kernel + per-direction fd kernels + XLA combine (fastest at N>=4);
     # 'split_dense' = split with dense flat-partner fd kernels (every op
@@ -76,13 +87,17 @@ def make_euler_rhs_fused(
     if volume_mode == "auto":
         volume_mode = ("split" if disc.n >= 4 and disc.affine
                        else "joint")
-    if volume_mode in ("split", "split_dense"):
+    if volume_mode == "split_dense":
+        from ..ops.pallas_volume import euler_volume_split_pallas
+
+        _vol = functools.partial(euler_volume_split_pallas, dense=True)
+    elif volume_mode == "split":
         from ..ops.pallas_volume import euler_volume_split_pallas
 
         _vol = functools.partial(euler_volume_split_pallas,
-                                 dense=volume_mode == "split_dense")
+                                 diag=axis_aligned)
     else:
-        _vol = euler_volume_pallas
+        _vol = functools.partial(euler_volume_pallas, diag=axis_aligned)
     if block_k is None:
         from ..ops.pallas_volume import default_block_k
 
@@ -102,7 +117,7 @@ def make_euler_rhs_fused(
             traces, nbr, nxj, disc.sj, disc.inv_sj, disc.inv_jac,
             disc.lift, ph_qf, gamma,
             dissipation=dissipation, block_k=block_k,
-            interpret=interpret,
+            interpret=interpret, diag=axis_aligned,
         )
 
         aux = {}

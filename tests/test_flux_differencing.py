@@ -161,6 +161,39 @@ def test_fused_rhs_matches_lines_n4_f64(mode):
                                rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.parametrize("n,mode", [(3, "joint"), (4, "split")])
+def test_fused_diag_specialization(n, mode):
+    """The axis-aligned (diagonal-metric) kernel specialization: on a
+    uniform hex mesh detection engages, and statically dropping the
+    cross-direction flux assembly / metric-contraction terms changes
+    the RHS only at roundoff (the dropped entries are snapped to exact
+    zero at setup, core/discretization._snap).  A curved mesh must NOT
+    be detected as axis-aligned."""
+    from esdg_cns_tpu.ops.pallas_volume import detect_axis_aligned
+    from esdg_cns_tpu.presets import euler_hex_3d
+    from esdg_cns_tpu.solvers import make_euler_rhs
+    from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
+
+    disc, q0 = euler_hex_3d(n=n, k1d=2)
+    assert detect_axis_aligned(disc)
+    a, _ = make_euler_rhs(disc, dissipation=True, flux_diff_impl="lines",
+                          compute_rhstest=False)(q0)
+    b, _ = make_euler_rhs_fused(disc, dissipation=True, force_fused=True,
+                                interpret=True, volume_mode=mode,
+                                axis_aligned=True)(q0)
+    c, _ = make_euler_rhs_fused(disc, dissipation=True, force_fused=True,
+                                interpret=True, volume_mode=mode,
+                                axis_aligned=False)(q0)
+    scale = float(jnp.abs(jnp.asarray(a)).max())
+    np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(c) / scale,
+                               rtol=1e-13, atol=1e-13)
+
+    disc_c, _ = euler_hex_3d(n=2, k1d=2, curved=True)
+    assert not detect_axis_aligned(disc_c)
+
+
 def test_fused_rhs_matches_lines_n5_f64():
     """N=5 now defaults to the fused split path (1.57e9 vs lines 6.3e8
     DOF*stage/s on the v5e, PARITY round 3); correctness vs lines."""
