@@ -55,6 +55,7 @@ def make_cns_rhs_affine(
     re: Optional[float] = None,
     flux_diff_impl: str = "auto",
     volume_impl: str = "xla",
+    viscous_impl: str = "auto",
     compute_rhstest: bool = True,
     rhstest_mode: str = "native",
     gather_fn=None,
@@ -79,6 +80,17 @@ def make_cns_rhs_affine(
         viscous front end collapses because Pq = I on Gauss-collocated
         hexes (vuq = v(U), vqd = D_r v, vuf = Ef v).  flux_diff_impl is
         ignored.
+
+    viscous_impl:
+      'fused' — the whole viscous mid-section (front GEMM, gradients,
+        K(v), stress traces, divergence, entropy-production partials)
+        runs as ONE Pallas kernel (ops.pallas_viscous); requires
+        volume_impl in ('fused', 'fused_hex') and
+        rhstest_mode='native' (the kernel's per-element production
+        partials are native f32).  The XLA mid-section is ~80 device
+        ops of launch latency for <0.5 GFLOP — the kernel removes it.
+      'xla'  — the composed-operator XLA mid-section.
+      'auto' — 'fused' whenever its requirements hold.
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -141,6 +153,33 @@ def make_cns_rhs_affine(
     geo = disc.geo                                   # [dim*dim, 1, K]
     nfields = dim + 2
 
+    # viscous_impl resolution: the fused mid-section kernel consumes the
+    # raw v(U) the fused volume kernels already emit, so it requires a
+    # fused volume path; its per-element entropy-production partials
+    # are native f32, so rhstest_mode must be 'native'
+    fused_visc_ok = (volume_impl in ("fused", "fused_hex")
+                     and rhstest_mode == "native")
+    if viscous_impl == "fused" and not fused_visc_ok:
+        raise ValueError(
+            "viscous_impl='fused' requires volume_impl in "
+            "('fused', 'fused_hex') and rhstest_mode='native'"
+        )
+    use_fused_viscous = (viscous_impl == "fused"
+                         or (viscous_impl == "auto" and fused_visc_ok))
+    if viscous_impl not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
+    if use_fused_viscous:
+        # front operator for the kernel: rows [0:Nq) projection,
+        # [(1+r)Nq:(2+r)Nq) reference gradients (collocated hexes:
+        # Vq = Pq = I, so the projection block is the identity)
+        if volume_impl == "fused_hex":
+            front_visc = jnp.concatenate(
+                [jnp.eye(nq, dtype=vqpq.dtype), *vqdrpq], axis=0
+            )
+        else:
+            front_visc = front
+        nxj_stack = jnp.stack(list(disc.nxj))        # [dim, Nfq, K]
+
     def front_xla(q):
         uq = _apply(disc.vq, q)
         vu_q = phys.v_ufun(uq, gamma)
@@ -173,6 +212,9 @@ def make_cns_rhs_affine(
         uf = tr[nfields:2 * nfields]
         qm_log = tr[2 * nfields:2 * nfields + 2]
         vuf = tr[2 * nfields + 2:]
+        if use_fused_viscous:
+            # the viscous kernel runs the front GEMM itself on vu_q
+            return qm, uf, qm_log, vuf, vu_q, None, ph_qf
         fr = _apply(front, vu_q)                     # [Nf, (1+dim)Nq, K]
         vuq = fr[:, :nq]
         vqd = [fr[:, (1 + r) * nq:(2 + r) * nq] for r in range(dim)]
@@ -210,10 +252,13 @@ def make_cns_rhs_affine(
             [rho[None]] + [(rho * v)[None] for v in vel] + [e[None]], axis=0
         )
         vu_q = phys.v_ufun(q, gamma)
+        vuf = _apply(disc.vhp[nq:], vu_q)
+        if use_fused_viscous:
+            # the viscous kernel computes vqd = D_r v itself
+            return qm, uf, qm_log, vuf, vu_q, None, ph_qf
         # same composed operators as the xla path (on collocated hexes
         # vqdrpq = D_r and vhp[nq:] = Ef up to setup roundoff)
         vqd = [_apply(vqdrpq[r], vu_q) for r in range(dim)]
-        vuf = _apply(disc.vhp[nq:], vu_q)
         return qm, uf, qm_log, vuf, vu_q, vqd, ph_qf
 
     front_fn = {
@@ -236,28 +281,50 @@ def make_cns_rhs_affine(
         if bc is not None:
             vup = bc.entropy_vars(disc, vuf, vup, t)
         dv = vup - vuf
-        half_jumps = jnp.stack(
-            [0.5 * dv * disc.nxj[x][None] for x in range(dim)]
-        )                                            # [dim, Nf, Nfq, K]
-        grad_surf = _apply(vqlift, half_jumps)       # [dim, Nf, Nq, K]
-        grad_q = [
-            (sum(geo[r * dim + x] * vqd[r] for r in range(dim))
-             + grad_surf[x]) * inv_j
-            for x in range(dim)
-        ]
+        if use_fused_viscous:
+            # ONE Pallas kernel: front GEMM, gradients, K(v), stress
+            # traces, divergence and the entropy-production partials
+            # (ops.pallas_viscous); `vuq` from front_fn is the raw
+            # v(U) the kernel consumes.  (A second kernel fusing the
+            # surface flux + LIFTs + assembly was built and measured
+            # SLOWER than this XLA tail — per-field in-kernel LIFT
+            # dots lose to XLA's single batched LIFT einsum; PARITY
+            # round 3 — so the tail below stays XLA.)
+            from ..ops.pallas_viscous import cns_viscous_pallas
 
-        sigma = viscous_flux_nd(vuq, grad_q, mu, lam, pr, gamma)
+            s_f_flat, div, prod, vuq = cns_viscous_pallas(
+                vuq, dv, geo, nxj_stack, inv_j, disc.wjq, front_visc,
+                vqlift, disc.vhp[nq:], drpq_stack,
+                gamma=gamma, mu=mu, lam=lam, pr=pr, nq=nq,
+                interpret=interpret,
+                **({} if block_k is None else {"block_k": block_k}),
+            )
+            rhstest_visc = jnp.sum(prod)
+            s_f_all = s_f_flat.reshape(dim, nfields, dv.shape[1], -1)
+        else:
+            half_jumps = jnp.stack(
+                [0.5 * dv * disc.nxj[x][None] for x in range(dim)]
+            )                                        # [dim, Nf, Nfq, K]
+            grad_surf = _apply(vqlift, half_jumps)   # [dim, Nf, Nq, K]
+            grad_q = [
+                (sum(geo[r * dim + x] * vqd[r] for r in range(dim))
+                 + grad_surf[x]) * inv_j
+                for x in range(dim)
+            ]
 
-        rhstest_visc = sum(
-            weighted_entropy_residual(disc.wjq, g, s, rhstest_mode)
-            for g, s in zip(grad_q, sigma)
-        )
+            sigma = viscous_flux_nd(vuq, grad_q, mu, lam, pr, gamma)
+
+            rhstest_visc = sum(
+                weighted_entropy_residual(disc.wjq, g, s, rhstest_mode)
+                for g, s in zip(grad_q, sigma)
+            )
         if psum_axis is not None:
             rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
 
         # ---- ONE batched stress exchange; traces via (Vf Pq) ----
-        ef = disc.vhp[nq:]
-        s_f_all = _apply(ef, jnp.stack(sigma))       # [dim, Nf, Nfq, K]
+        if not use_fused_viscous:
+            ef = disc.vhp[nq:]
+            s_f_all = _apply(ef, jnp.stack(sigma))   # [dim, Nf, Nfq, K]
         s_f = [s_f_all[d] for d in range(dim)]
         s_nbr = gather(s_f_all)
         s_p = [s_nbr[d] for d in range(dim)]
@@ -265,12 +332,13 @@ def make_cns_rhs_affine(
             s_p = bc.stress(disc, s_f, s_p, vuf, t)
 
         # ---- viscous divergence (composed) + both LIFTs in one GEMM ----
-        g_r = jnp.stack([
-            sum(geo[r * dim + x] * sigma[x] for x in range(dim))
-            for r in range(dim)
-        ])                                           # [dim, Nf, Nq, K]
-        div = jnp.einsum("rij,rfjk->fik", drpq_stack, g_r,
-                         precision=jax.lax.Precision.HIGHEST)
+        if not use_fused_viscous:
+            g_r = jnp.stack([
+                sum(geo[r * dim + x] * sigma[x] for x in range(dim))
+                for r in range(dim)
+            ])                                       # [dim, Nf, Nq, K]
+            div = jnp.einsum("rij,rfjk->fik", drpq_stack, g_r,
+                             precision=jax.lax.Precision.HIGHEST)
 
         jump_n = sum(
             0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None] for x in range(dim)

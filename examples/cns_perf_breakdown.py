@@ -151,6 +151,40 @@ def main():
     print(f"3 exchange #1   : {timeit(exch, tr0):7.3f} ms "
           f"({tr0.shape[0]} rows)")
 
+    # 4. inviscid surface (EC face flux + LF + BC hooks), exchange
+    #    excluded (stage 3): the stage the round-3 breakdown missed —
+    #    the ~46% of the RHS unaccounted for by stages 1-3 + 5-7.
+    fr_x0 = _apply(front_x, vu0)
+    vuh0 = fr_x0[:, :nh]
+    uh0 = phys.u_vfun(vuh0, gamma)
+    beta0 = phys.betafun(uh0, gamma)
+    qh0 = jnp.concatenate([uh0[0][None], uh0[1:-1] / uh0[0], beta0[None]], 0)
+    qlog0 = jnp.stack([jnp.log(qh0[0]), jnp.log(qh0[-1])])
+    qm0 = qh0[:, nq:]
+    uf0 = uh0[:, nq:]
+    qmlog0 = qlog0[:, nq:]
+    vuf0 = vuh0[:, nq:]
+    parts0 = [qm0, uf0, qmlog0]
+    rhoun0 = sum(uf0[1 + d] * disc.nxj[d] for d in range(dim))
+    lam0 = phys.wavespeed(uf0[0], rhoun0 * disc.inv_sj, uf0[-1], gamma)
+    parts0.append(lam0[None])
+    parts0.append(vuf0)
+    nbr0 = disc.gather_traces(jnp.concatenate(parts0, axis=0))
+
+    def inviscid_surf(nbr):
+        nf = nfields
+        qp = nbr[:nf]
+        up = nbr[nf:2 * nf]
+        qp, up = bc.inviscid(disc, qm0, qp, uf0, up, 0.0)
+        fs = phys.ec_flux(qm0, qp, qmlog0, None, gamma=gamma)
+        flux = sum(f * nx[None] for f, nx in zip(fs, disc.nxj))
+        lam_p = nbr[2 * nf + 2]
+        lfc = 0.25 * jnp.maximum(lam0, lam_p) * disc.sj
+        return flux - lfc[None] * (up - uf0)
+
+    print(f"4 inviscid surf : {timeit(inviscid_surf, nbr0):7.3f} ms "
+          f"(EC face flux + LF + BC, exchange excluded)")
+
     # 5. gradient + K(v)
     fr0 = _apply(front_x, vu0)
     vuq0 = fr0[:, nh:nh + nq]

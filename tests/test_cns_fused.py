@@ -70,6 +70,45 @@ def test_fused_hex_matches_xla_3d_cavity(n):
         assert abs(va - vb) < 1e-8 * max(abs(va), 1.0), (key, va, vb)
 
 
+def test_viscous_impl_fused_matches_xla():
+    """viscous_impl='fused' (ONE Pallas kernel for front GEMM,
+    gradients, K(v), stress traces, divergence and the
+    entropy-production partials — ops.pallas_viscous) == the XLA
+    mid-section, wall BCs and both dissipations on, 2D tri and 3D hex."""
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+
+    cases = [("fused", lid_driven_cavity(n=3, k1d=4)),
+             ("fused_hex", lid_driven_cavity_3d(n=2, k1d=3))]
+    for vol, (disc, q0, bc, p) in cases:
+        rng = np.random.default_rng(2)
+        q = q0 + 5e-4 * jnp.asarray(rng.standard_normal(q0.shape)) \
+            * jnp.asarray([1.0] + [0.1] * disc.dim + [1.0])[:, None, None]
+        flags = dict(bc=bc, mu=p["mu"], pr=p["pr"], re=p["re"],
+                     inviscid_dissipation=True, viscous_dissipation=True,
+                     volume_impl=vol, interpret=True)
+        dq_a, aux_a = jax.jit(make_cns_rhs_affine(
+            disc, **flags, viscous_impl="xla"))(q, 0.0)
+        dq_b, aux_b = jax.jit(make_cns_rhs_affine(
+            disc, **flags, viscous_impl="fused"))(q, 0.0)
+        scale = float(jnp.abs(dq_a).max())
+        assert float(jnp.abs(dq_a - dq_b).max()) < 1e-12 * scale, vol
+        for key in ("rhstest", "rhstest_visc", "rhstest_visc_total"):
+            va, vb = float(aux_a[key]), float(aux_b[key])
+            assert abs(va - vb) < 1e-10 * max(abs(va), 1.0), (vol, key)
+
+
+def test_viscous_impl_fused_requires_fused_volume():
+    disc, _, bc, p = lid_driven_cavity(n=2, k1d=2)
+    with pytest.raises(ValueError):
+        make_cns_rhs_affine(disc, mu=p["mu"], pr=p["pr"], re=p["re"],
+                            bc=bc, volume_impl="xla", viscous_impl="fused")
+    with pytest.raises(ValueError):
+        make_cns_rhs_affine(disc, mu=p["mu"], pr=p["pr"], re=p["re"],
+                            bc=bc, volume_impl="fused",
+                            rhstest_mode="compensated",
+                            viscous_impl="fused")
+
+
 def test_fused_hex_requires_collocated_hex():
     disc, _, _, p = lid_driven_cavity(n=2, k1d=2)
     with pytest.raises(ValueError):
