@@ -86,32 +86,43 @@ def compile_roll_plan(map_p_rm: np.ndarray, nfp: int,
     return tuple(plan), tuple(masks)
 
 
-def _permute_rows(uf: jnp.ndarray, perm) -> jnp.ndarray:
-    """Static row permutation WITHOUT a gather: the perms a structured
-    mesh produces are contiguous runs (ascending = partner face block,
-    descending = orientation-reversed partner), which lower to a static
-    slice / slice+reverse; anything else becomes single-row slices + one
-    concat.  XLA fuses all of these, while `uf[..., perm, :]` lowers to
-    a sublane-axis gather (20 of them dominated the compiled cavity RHS
-    op mix, round 3)."""
-    n = len(perm)
-    if perm == tuple(range(perm[0], perm[0] + n)):
-        return uf[..., perm[0]:perm[0] + n, :]
-    if perm == tuple(range(perm[0], perm[0] - n, -1)):
-        return jnp.flip(uf[..., perm[-1]:perm[-1] + n, :], axis=-2)
-    return jnp.concatenate([uf[..., i:i + 1, :] for i in perm], axis=-2)
-
-
 def apply_roll_plan(plan, masks, uf: jnp.ndarray) -> jnp.ndarray:
     """Execute a compiled plan: uf [..., Nfq, K] -> neighbor traces.
 
+    Static row permutations are lowered WITHOUT gathers: the perms a
+    structured mesh produces are contiguous runs (ascending = partner
+    face block, descending = orientation-reversed partner).  Ascending
+    runs are static slices; descending runs are ascending slices of
+    ONE shared flip of the whole trace block (computed lazily, at most
+    one reverse per exchange instead of one per face-pattern);
+    anything else becomes single-row slices + one concat.  XLA fuses
+    all of these, while `uf[..., perm, :]` lowers to a sublane-axis
+    gather (20 of them dominated the compiled cavity RHS op mix,
+    round 3).
+
     Same contract as the generic mapP gather (and bit-identical to it:
     tests/test_roll_exchange.py)."""
+    nfq = uf.shape[-2]
+    rev = None
+
+    def permute(perm):
+        nonlocal rev
+        n = len(perm)
+        if perm == tuple(range(perm[0], perm[0] + n)):
+            return uf[..., perm[0]:perm[0] + n, :]
+        if perm == tuple(range(perm[0], perm[0] - n, -1)):
+            if rev is None:
+                rev = jnp.flip(uf, axis=-2)
+            start = nfq - 1 - perm[0]
+            return rev[..., start:start + n, :]
+        return jnp.concatenate([uf[..., i:i + 1, :] for i in perm],
+                               axis=-2)
+
     outs = []
     for f_plan, f_masks in zip(plan, masks):
         acc = None
         for (perm, off), m in zip(f_plan, f_masks):
-            src = _permute_rows(uf, perm)
+            src = permute(perm)
             rolled = jnp.roll(src, -off, axis=-1) if off else src
             acc = rolled if acc is None else jnp.where(m, rolled, acc)
         outs.append(acc)
