@@ -270,13 +270,19 @@ def detect_axis_aligned(disc, tol: float = 1e-10) -> bool:
 
 def default_block_k(n: int, volume_mode: str = "joint") -> int:
     """Element-block width for the fused Euler kernels (measured on the
-    v5e, examples/r3_variant_study.py).  128 lanes is fastest through
-    N=3 (3.24e9 DOF*stage/s at N=3; wider blocks only add VMEM traffic
-    there), but at N>=4 the sublane-misaligned n1=5 line arithmetic is
-    per-op-overhead-bound and WIDER lane blocks amortize it: the split
-    path at block_k=512 runs 2.25x faster than at 128 (full RHS 5.84 ms
-    vs 13.15 ms at K=13824)."""
-    return 512 if n >= 4 else 128
+    v5e, examples/r3_variant_study.py).  The deciding property is
+    whether the line extent n1 = N+1 divides the 8-sublane tile: when
+    it does (N=1, 3, 7), every vector op is tile-aligned and 128 lanes
+    is fastest (wider blocks only add VMEM traffic — N=3 3.75e9 at 128
+    vs 2.6e9 at 512); when it does not, the per-op misalignment
+    overhead dominates and WIDE lane blocks amortize it — N=4 split at
+    512 runs 2.25x faster than at 128, and N=2 (n1=3) at 1024 runs
+    2.1x faster (1.01e9 -> 2.12e9 full RHS, K=32768; 512 -> 1.90e9,
+    2048 -> 1.93e9)."""
+    n1 = n + 1
+    if 8 % n1 == 0:
+        return 128
+    return 1024 if n1 == 3 else 512
 
 
 @functools.partial(
