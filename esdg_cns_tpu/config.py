@@ -52,6 +52,10 @@ class SimConfig:
     cns_volume_impl: str = "auto"  # CNS affine: auto|xla|fused|fused_hex
                                    # ('auto' = composed-operator affine path
                                    # when applicable, else the generic RHS)
+    cns_viscous_impl: str = "auto"  # auto|xla|fused: fused = the viscous
+                                    # mid-section Pallas kernel
+                                    # (ops.pallas_viscous; requires a fused
+                                    # volume path + native rhstest)
     rhstest_mode: str = "native"   # native|compensated|f64 diagnostics
 
     # stepping
@@ -186,6 +190,7 @@ def build_problem(cfg: SimConfig, bc=None):
             rhs = make_cns_rhs_affine(
                 disc, flux_diff_impl=fd_impl,
                 volume_impl=volume_impl,
+                viscous_impl=cfg.cns_viscous_impl,
                 interpret=(use_fused or use_fused_hex) and not on_tpu,
                 **kw,
             )
