@@ -68,17 +68,27 @@ def triangular_fd(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved):
         lj = (qlog[0][j:j + 1], qlog[1][j:j + 1])
         fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
         a_cols = [qs[r][:rows, j:j + 1] for r in range(dim)]
+        # contract the operator column with the metric FIRST (field-
+        # independent): b_x = sum_r A_r[:, j] geo[r, x], then each
+        # field needs only dim multiply-adds instead of dim^2 —
+        # algebraically identical, ~half the contraction VPU work
+        b = []
+        for xdir in range(dim):
+            t = None
+            for rdir in range(dim):
+                g = geo[rdir * dim + xdir]
+                if curved:
+                    g = 0.5 * (g[:rows] + g[j:j + 1])
+                elif g.shape[0] != 1:
+                    g = g[:rows]
+                term = a_cols[rdir] * g
+                t = term if t is None else t + term
+            b.append(t)
         for f in range(nf):
             w = None
-            for rdir in range(dim):
-                for xdir in range(dim):
-                    g = geo[rdir * dim + xdir]
-                    if curved:
-                        g = 0.5 * (g[:rows] + g[j:j + 1])
-                    elif g.shape[0] != 1:
-                        g = g[:rows]
-                    term = (a_cols[rdir] * g) * fluxes[xdir][f]
-                    w = term if w is None else w + term
+            for xdir in range(dim):
+                term = b[xdir] * fluxes[xdir][f]
+                w = term if w is None else w + term
             pad = jnp.zeros((nh - rows, kb), dtype)
             acc[f] = acc[f] + jnp.concatenate([w, pad], axis=0)
             jrows[f].append(-jnp.sum(w, axis=0, keepdims=True))

@@ -831,8 +831,7 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
     return ph_qf[:, :, :k], traces[:, :, :k]
 
 
-def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
-                    lift_ref, phqf_ref, out_ref, *, gamma, dissipation,
+def _surface_kernel(tr_ref, nbr_ref, nxj_ref, *rest, gamma, dissipation,
                     diag=False, nfp=0):
     """Fused surface stage: EC interface flux + LF dissipation + LIFT +
     combination with the volume part and the 1/J scaling.
@@ -846,13 +845,22 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
     contraction run per direction on the 2*nfp contiguous face rows of
     that direction (faces 2d and 2d+1 are adjacent row blocks), with
     the wavespeed's normal momentum taken directly from component d.
+    In diag mode nxj_ref holds the COMPACT one-row normal (each face
+    point's single nonzero component) and sj / 1/sj are derived
+    in-kernel (sj = |nxj| exactly there), dropping four [Nfq, K] HBM
+    streams from the kernel's inputs.
     """
     gm1 = gamma - 1.0
+    if diag:
+        ij_ref, lift_ref, phqf_ref, out_ref = rest
+        sj = isj = None
+    else:
+        sj_ref, isj_ref, ij_ref, lift_ref, phqf_ref, out_ref = rest
+        sj = sj_ref[...]
+        isj = isj_ref[...]
     tr = tr_ref[...]
     nbr = nbr_ref[...]
     nxj = nxj_ref[...]
-    sj = sj_ref[...]
-    isj = isj_ref[...]
     inv_jac = ij_ref[...]
     lift = lift_ref[...]
     phqf = phqf_ref[...]
@@ -895,12 +903,14 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
         parts = []
         for d in range(3):
             rows = slice(2 * d * nfp, 2 * (d + 1) * nfp)
+            nxj_g = nxj[0, rows]
+            sj_g = jnp.abs(nxj_g)           # = sqrt(nxj_d^2): exact
             parts.append(group_flux(
                 tuple(tr[i, rows] for i in range(5)),
                 tuple(nbr[i, rows] for i in range(5)),
                 (tr[5, rows], tr[6, rows]),
                 (nbr[5, rows], nbr[6, rows]),
-                (nxj[d, rows],), sj[rows], isj[rows], (d,),
+                (nxj_g,), sj_g, 1.0 / sj_g, (d,),
             ))
         flux = [jnp.concatenate([parts[d][f] for d in range(3)], axis=0)
                 for f in range(5)]
@@ -926,17 +936,27 @@ def _surface_kernel(tr_ref, nbr_ref, nxj_ref, sj_ref, isj_ref, ij_ref,
 def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
                          gamma, *, dissipation=True, block_k: int = 128,
                          interpret: bool = False, diag: bool = False):
-    """Fused surface stage; returns the complete RHS dq [5, Nq, K]."""
-    nfq, k = sj.shape
+    """Fused surface stage; returns the complete RHS dq [5, Nq, K].
+
+    diag: pass nxj as the COMPACT [1, Nfq, K] normal (each face point's
+    single nonzero component, e.g. ``(nxj[0]+nxj[1]+nxj[2])[None]`` on
+    a snapped axis-aligned mesh) and inv_jac as its first row [1, K]
+    (affine: all rows equal); sj / inv_sj are ignored (derived
+    in-kernel) and may be anything array-shaped — the kernel streams
+    four fewer [Nfq, K] inputs and one fewer [Nq-1, K]."""
+    nfq, k = traces.shape[1:]
     nq = ph_qf.shape[1]
+    nij = inv_jac.shape[0]
     kb = min(block_k, k)
     pad = (-k) % kb
+    if diag:
+        ins = [traces, nbr, nxj, inv_jac, lift, ph_qf]
+    else:
+        ins = [traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf]
     if pad:
         padk = lambda a: jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, pad),),
                                  constant_values=1.0)
-        traces, nbr, nxj, sj, inv_sj, inv_jac, ph_qf = map(
-            padk, (traces, nbr, nxj, sj, inv_sj, inv_jac, ph_qf)
-        )
+        ins = [a if a is lift else padk(a) for a in ins]
     kp = k + pad
 
     kernel = functools.partial(_surface_kernel, gamma=gamma,
@@ -946,23 +966,22 @@ def euler_surface_pallas(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf,
         shape, lambda i: (0,) * (len(shape) - 1) + (i,),
         memory_space=pltpu.VMEM,
     )
+    lift_spec = pl.BlockSpec((nq, nfq), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    if diag:
+        in_specs = [spec(7, nfq, kb), spec(7, nfq, kb), spec(1, nfq, kb),
+                    spec(nij, kb), lift_spec, spec(5, nq, kb)]
+    else:
+        in_specs = [spec(7, nfq, kb), spec(7, nfq, kb), spec(3, nfq, kb),
+                    spec(nfq, kb), spec(nfq, kb), spec(nij, kb), lift_spec,
+                    spec(5, nq, kb)]
     out = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
-        in_specs=[
-            spec(7, nfq, kb),
-            spec(7, nfq, kb),
-            spec(3, nfq, kb),
-            spec(nfq, kb),
-            spec(nfq, kb),
-            spec(nq, kb),
-            pl.BlockSpec((nq, nfq), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            spec(5, nq, kb),
-        ],
+        in_specs=in_specs,
         out_specs=spec(5, nq, kb),
         out_shape=jax.ShapeDtypeStruct((5, nq, kp), traces.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(traces, nbr, nxj, sj, inv_sj, inv_jac, lift, ph_qf)
+    )(*ins)
     return out[:, :, :k]

@@ -110,7 +110,14 @@ def make_euler_rhs_fused(
 
         block_k = default_block_k(disc.n, volume_mode)
 
-    nxj = jnp.stack(disc.nxj)
+    if axis_aligned:
+        # compact one-row normal: each face point's single nonzero
+        # component (the others are snapped exact zeros) — the surface
+        # kernel derives sj = |nxj| and 1/sj in-VMEM, streaming four
+        # fewer [Nfq, K] HBM inputs
+        nxj = (disc.nxj[0] + disc.nxj[1] + disc.nxj[2])[None]
+    else:
+        nxj = jnp.stack(disc.nxj)
 
     def rhs(q, t: float = 0.0):
         del t
@@ -121,7 +128,8 @@ def make_euler_rhs_fused(
         )
         nbr = gather(traces)
         rhs_q = euler_surface_pallas(
-            traces, nbr, nxj, disc.sj, disc.inv_sj, disc.inv_jac,
+            traces, nbr, nxj, disc.sj, disc.inv_sj,
+            disc.inv_jac[:1] if axis_aligned else disc.inv_jac,
             disc.lift, ph_qf, gamma,
             dissipation=dissipation, block_k=surface_block_k,
             interpret=interpret, diag=axis_aligned,
