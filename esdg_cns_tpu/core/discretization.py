@@ -215,21 +215,30 @@ def build_discretization(
     if np.any(jac_np <= 0):
         raise ValueError("non-positive Jacobian: inverted element")
 
-    # snap sub-roundoff metric entries to exact zero: on axis-aligned
-    # meshes the off-diagonal geofacs (and off-axis normal components
-    # below) are pure setup-matmul noise (~1e-16 absolute from O(1)
-    # coordinates); zeroing them makes the axis-aligned kernel
-    # specialization (ops.pallas_volume diag=True) bit-consistent with
-    # the general contraction.  The curl-form noise reaches ~6e-13 of
-    # the metric scale (measured at N=4: D entries O(10) x coordinate
-    # products O(1) in f64), so the gate is 1e-11 relative — still far
-    # below any legitimate metric entry (that would need aspect ratio
-    # 1e11), hence lossless on every mesh.
+    # snap sub-roundoff metric entries to exact zero, AFFINE meshes
+    # only: on axis-aligned meshes the off-diagonal geofacs (and
+    # off-axis normal components below) are pure setup-matmul noise
+    # (~1e-16 absolute from O(1) coordinates); zeroing them makes the
+    # axis-aligned kernel specialization (ops.pallas_volume diag=True)
+    # bit-consistent with the general contraction.  The curl-form noise
+    # reaches ~6e-13 of the metric scale (measured at N=4: D entries
+    # O(10) x coordinate products O(1) in f64), so the gate is 1e-11
+    # relative — far below any legitimate affine metric entry (that
+    # would need aspect ratio 1e11).  Curved meshes are NOT snapped:
+    # a smooth nodal geofac may legitimately cross zero, and the
+    # curl-form GCL is an exact nodal identity there that perturbation
+    # would break; on affine metrics the GCL reduces to D_r applied to
+    # per-element constants (exact for any constant), so the snap
+    # cannot disturb it.
     def _snap(arrs):
         scale = max(np.abs(a).max() for a in arrs)
         return [np.where(np.abs(a) < 1e-11 * scale, 0.0, a) for a in arrs]
 
-    geo_list = _snap(geo_list)
+    g_stack = np.stack(geo_list)
+    g_spread = np.abs(g_stack - g_stack.mean(axis=1, keepdims=True)).max()
+    snap_ok = bool(g_spread < 1e-6 * max(np.abs(g_stack).max(), 1e-300))
+    if snap_ok:
+        geo_list = _snap(geo_list)
 
     # surface normals: nxJ = sum_r (Vf @ geo[r,x]) * nhat_r  (SetupDG.jl:312)
     nxj_np = []
@@ -238,7 +247,8 @@ def build_discretization(
         for rdir in range(dim):
             acc += (ref.vf @ geo_list[rdir * dim + xdir]) * ref.nrst_j[rdir][:, None]
         nxj_np.append(acc)
-    nxj_np = _snap(nxj_np)
+    if snap_ok:
+        nxj_np = _snap(nxj_np)
     sj_np = np.sqrt(sum(v**2 for v in nxj_np))
 
     # interpolate geofacs to hybridized points; collapse if affine

@@ -47,9 +47,12 @@ def _dot(a, x):
 
 def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
                     front_ref, vqlift_ref, ef_ref, drpq_ref,
-                    sf_ref, div_ref, prod_ref, vuq_ref, *,
-                    dim, nq, gamma, mu, lam, pr):
+                    *rest, dim, nq, gamma, mu, lam, pr, proj):
     nf = dim + 2
+    if proj:
+        sf_ref, div_ref, prod_ref, vuq_ref = rest
+    else:
+        sf_ref, div_ref, prod_ref = rest
 
     vu = vu_ref[...]          # [Nf, Nq, KB] raw v(U) at quadrature
     dv = dv_ref[...]          # [Nf, Nfq, KB] BC-adjusted entropy jumps
@@ -57,18 +60,26 @@ def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
     nxj = nxj_ref[...]        # [dim, Nfq, KB]
     invj = invj_ref[...]      # [1, KB]
     wjq = wjq_ref[...]        # [Nq, KB]
-    front = front_ref[...]    # [(1+dim)Nq, Nq]
+    front = front_ref[...]    # [(proj+dim)Nq, Nq]
     vqlift = vqlift_ref[...]  # [Nq, Nfq]
     ef = ef_ref[...]          # [Nfq, Nq]
     drpq = drpq_ref[...]      # [dim, Np, Nq]
 
-    # ---- 1: front GEMM (projection + reference gradients) ----
+    # ---- 1: front GEMM.  proj (modal/tri): rows = [Vq Pq; Vq D_r Pq]
+    # — projected entropy vars + reference gradients; collocated hex
+    # (proj=False): Vq = Pq = I, so the projection block is skipped
+    # entirely (no identity MXU pass, no redundant vuq output) and
+    # front = [D_r] only. ----
     fr = [_dot(front, vu[f]) for f in range(nf)]
-    vuq = [fr[f][:nq] for f in range(nf)]
-    for f in range(nf):
-        vuq_ref[f] = vuq[f]
+    off = nq if proj else 0
+    if proj:
+        vuq = [fr[f][:nq] for f in range(nf)]
+        for f in range(nf):
+            vuq_ref[f] = vuq[f]
+    else:
+        vuq = [vu[f] for f in range(nf)]
     # vqd[r][f]: reference-direction-r gradient of entropy var f
-    vqd = [[fr[f][(1 + r) * nq:(2 + r) * nq] for f in range(nf)]
+    vqd = [[fr[f][off + r * nq:off + (r + 1) * nq] for f in range(nf)]
            for r in range(dim)]
 
     # ---- 2-3: physical gradients ----
@@ -120,20 +131,26 @@ def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "mu", "lam", "pr", "nq", "block_k",
-                     "interpret"),
+                     "interpret", "proj"),
 )
 def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
                        drpq, *, gamma, mu, lam, pr, nq,
-                       block_k: int = 1024, interpret: bool = False):
+                       block_k: int = 1024, interpret: bool = False,
+                       proj: bool = True):
     """Fused viscous mid-section (affine meshes).
 
     Args:
       vu_q: [Nf, Nq, K] raw entropy variables at quadrature (volume
         kernel output); dv: [Nf, Nfq, K] BC-adjusted entropy jumps
         (vup - vuf); geo: [dim*dim, 1, K]; nxj: [dim, Nfq, K];
-        inv_j: [1, K]; wjq: [Nq, K]; front: [(1+dim)Nq, Nq];
+        inv_j: [1, K]; wjq: [Nq, K]; front: [(proj+dim)Nq, Nq];
         vqlift: [Nq, Nfq]; ef: [Nfq, Nq]; drpq: [dim, Np, Nq].
       mu/lam/pr/gamma: viscous parameters (lam may be None -> Stokes).
+      proj: True (modal/tri) = front carries a leading Vq Pq
+        projection block and the kernel emits the projected entropy
+        variables; False (collocated hex, Vq = Pq = I) = front is the
+        gradient rows only and the returned vuq IS the input vu_q (no
+        identity MXU pass, no extra output stream).
 
     Returns (s_f [dim*Nf, Nfq, K] stress traces, div [Nf, Np, K]
     viscous divergence, prod [1, K] per-element entropy-production
@@ -166,7 +183,7 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
 
     kernel = functools.partial(
         _viscous_kernel, dim=dim, nq=nq, gamma=gamma, mu=mu, lam=lam,
-        pr=pr,
+        pr=pr, proj=proj,
     )
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -174,7 +191,20 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
         shape, lambda i: (0,) * (len(shape) - 1) + (i,),
         memory_space=pltpu.VMEM,
     )
-    s_f, div, prod, vuq = pl.pallas_call(
+    out_specs = [
+        blk(dim * nf, nfq, kb),
+        blk(nf, np_, kb),
+        blk(1, kb),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim * nf, nfq, kp), vu_q.dtype),
+        jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype),
+        jax.ShapeDtypeStruct((1, kp), vu_q.dtype),
+    ]
+    if proj:
+        out_specs.append(blk(nf, nq, kb))
+        out_shape.append(jax.ShapeDtypeStruct((nf, nq, kp), vu_q.dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
         in_specs=[
@@ -189,20 +219,12 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
             rep(ef.shape),
             rep(drpq.shape),
         ],
-        out_specs=(
-            blk(dim * nf, nfq, kb),
-            blk(nf, np_, kb),
-            blk(1, kb),
-            blk(nf, nq, kb),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((dim * nf, nfq, kp), vu_q.dtype),
-            jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype),
-            jax.ShapeDtypeStruct((1, kp), vu_q.dtype),
-            jax.ShapeDtypeStruct((nf, nq, kp), vu_q.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef, drpq)
-    return s_f[:, :, :k], div[:, :, :k], prod[:, :k], vuq[:, :, :k]
+    s_f, div, prod = outs[0], outs[1], outs[2]
+    vuq = outs[3][:, :, :k] if proj else vu_q[:, :, :k]
+    return s_f[:, :, :k], div[:, :, :k], prod[:, :k], vuq
 

@@ -229,15 +229,19 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def detect_axis_aligned(disc, tol: float = 1e-10) -> bool:
+def detect_axis_aligned(disc, tol: float = 1e-11) -> bool:
     """True when the hex discretization's metric is diagonal and every
     face-group normal has a single nonzero component (uniform/cartesian
     meshes — the reference's only hex generator, UniformHexMesh.jl).
 
     Host-side (eager numpy) — call at RHS-builder time, never under
-    jit.  The uniform-mesh off-axis entries are ~1e-14 relative setup
-    roundoff from the Vandermonde solves; tol is relative to the
-    largest metric entry.
+    jit.  tol matches the setup-time snap gate
+    (core.discretization._snap, 1e-11 relative): any off-axis entry the
+    snap left alone fails detection, so a detected-aligned mesh is
+    guaranteed to carry EXACT zeros in the entries the diag kernels
+    statically drop (and that the compact one-row normal folds
+    together) — the specialization is then bit-consistent with the
+    general contraction, never an approximation.
 
     Under a trace (shard_map/jit builds the RHS from tracer disc
     leaves) this returns False — callers that shard a concrete global

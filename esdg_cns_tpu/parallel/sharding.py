@@ -95,10 +95,15 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
                     "supported under shard_map; use the pjit path "
                     "(shard_discretization)"
                 )
-    # the fused_hex CNS volume path specializes on axis-aligned metrics;
-    # detection needs the concrete global disc (inside shard_map the
-    # leaves are tracers and detection is forced off)
-    if kw.get("volume_impl") == "fused_hex" and "axis_aligned" not in kw:
+    # the fused kernels specialize on axis-aligned metrics; detection
+    # needs the concrete global disc (inside shard_map the leaves are
+    # tracers and detection is forced off), so pre-detect here for ANY
+    # builder that accepts the flag (harmless no-op on paths that
+    # ignore it)
+    import inspect
+
+    if ("axis_aligned" in inspect.signature(builder).parameters
+            and "axis_aligned" not in kw):
         from ..ops.pallas_volume import detect_axis_aligned
 
         kw["axis_aligned"] = detect_axis_aligned(disc)

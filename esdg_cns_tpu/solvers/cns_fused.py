@@ -169,15 +169,13 @@ def make_cns_rhs_affine(
     if viscous_impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
     if use_fused_viscous:
-        # front operator for the kernel: rows [0:Nq) projection,
-        # [(1+r)Nq:(2+r)Nq) reference gradients (collocated hexes:
-        # Vq = Pq = I, so the projection block is the identity)
-        if volume_impl == "fused_hex":
-            front_visc = jnp.concatenate(
-                [jnp.eye(nq, dtype=vqpq.dtype), *vqdrpq], axis=0
-            )
-        else:
-            front_visc = front
+        # front operator for the kernel.  Collocated hexes: Vq = Pq = I,
+        # so the projection block is skipped entirely (proj=False —
+        # gradient rows only, no identity MXU pass) and the kernel
+        # hands back the input v(U) as vuq.
+        visc_proj = volume_impl != "fused_hex"
+        front_visc = (front if visc_proj
+                      else jnp.concatenate(vqdrpq, axis=0))
         nxj_stack = jnp.stack(list(disc.nxj))        # [dim, Nfq, K]
 
     def front_xla(q):
@@ -296,7 +294,7 @@ def make_cns_rhs_affine(
                 vuq, dv, geo, nxj_stack, inv_j, disc.wjq, front_visc,
                 vqlift, disc.vhp[nq:], drpq_stack,
                 gamma=gamma, mu=mu, lam=lam, pr=pr, nq=nq,
-                interpret=interpret,
+                interpret=interpret, proj=visc_proj,
                 **({} if block_k is None else {"block_k": block_k}),
             )
             rhstest_visc = jnp.sum(prod)

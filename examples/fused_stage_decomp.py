@@ -68,11 +68,21 @@ def main():
 
         nbr0 = exchange(tr0)
 
+        # diag mode takes the COMPACT one-row normal + [1, K] inv_jac
+        # (and derives sj/1/sj in-kernel) — same contract as
+        # solvers.euler_fused
+        if diag:
+            nxj = (disc.nxj[0] + disc.nxj[1] + disc.nxj[2])[None]
+            ij = disc.inv_jac[:1]
+        else:
+            nxj = jnp.stack(list(disc.nxj))
+            ij = disc.inv_jac
+
         def surf(tr, nbr, ph_qf):
             return euler_surface_pallas(
-                tr, nbr, jnp.stack(list(disc.nxj)), disc.sj, disc.inv_sj,
-                disc.inv_jac, disc.lift, ph_qf, gamma,
-                dissipation=True, block_k=128, diag=diag)
+                tr, nbr, nxj, disc.sj, disc.inv_sj,
+                ij, disc.lift, ph_qf, gamma,
+                dissipation=True, block_k=512, diag=diag)
 
         rhs = make_euler_rhs_fused(disc, dissipation=True,
                                    axis_aligned=diag)
