@@ -161,6 +161,45 @@ def test_fused_rhs_matches_lines_n4_f64(mode):
                                rtol=1e-11, atol=1e-11)
 
 
+def test_snap_detect_contract():
+    """The detection/snap invariant the diag kernels rely on: any mesh
+    detect_axis_aligned accepts carries EXACT zeros in every entry the
+    kernels statically drop (off-diagonal metrics, off-group normal
+    components) — detection's tolerance matches the setup snap gate,
+    so the specialization is never an approximation.  The snap itself
+    must not touch curved metrics (their curl-form GCL is an exact
+    nodal identity)."""
+    from esdg_cns_tpu.ops.pallas_volume import (default_block_k,
+                                                detect_axis_aligned)
+    from esdg_cns_tpu.presets import euler_hex_3d
+
+    disc, _ = euler_hex_3d(n=3, k1d=2)
+    assert detect_axis_aligned(disc)
+    geo = np.asarray(disc.geo)
+    for d in range(3):
+        for x in range(3):
+            if x != d:
+                assert np.all(geo[d * 3 + x] == 0.0)
+    nxj = np.stack([np.asarray(a) for a in disc.nxj])
+    nfp = nxj.shape[1] // 6
+    for fid in range(6):
+        rows = slice(fid * nfp, (fid + 1) * nfp)
+        for x in range(3):
+            if x != fid // 2:
+                assert np.all(nxj[x, rows] == 0.0)
+
+    # curved meshes are never detected (and their curl-form metrics are
+    # left un-snapped — free-stream preservation on curved hexes is
+    # pinned by test_fused_rhs_free_stream_cpu / test_euler_rhs)
+    disc_c, _ = euler_hex_3d(n=3, k1d=2, curved=True)
+    assert not detect_axis_aligned(disc_c)
+
+    # lane-block rule: aligned orders narrow, misaligned orders wide
+    assert default_block_k(1) == 128 and default_block_k(3) == 128
+    assert default_block_k(2) == 1024
+    assert default_block_k(4) == 512 and default_block_k(5) == 512
+
+
 @pytest.mark.parametrize("n,mode", [(3, "joint"), (4, "split")])
 def test_fused_diag_specialization(n, mode):
     """The axis-aligned (diagonal-metric) kernel specialization: on a
