@@ -123,6 +123,12 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
         fn, mesh=mesh,
         in_specs=(qspec, P(), disc_specs, halo_specs, bc_specs),
         out_specs=(qspec, P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation, so
+        # builders that route through the fused Mosaic kernels
+        # (volume_impl='fused'/'fused_hex', viscous_impl='fused') fail
+        # the vma check; skip it (shapes/specs are still validated) —
+        # same as make_sharded_euler_rhs_fused
+        check_vma=False,
     )
 
     def rhs(q, t=0.0):

@@ -346,6 +346,32 @@ def test_shard_map_cavity_3d_wall_bc():
                                float(aux_ref["rhstest"]), atol=1e-12)
 
 
+def test_shard_map_cavity_3d_fused_hex():
+    """The fused CNS kernels (volume_impl='fused_hex' + the fused
+    viscous mid-section) under shard_map: pallas_call outputs carry no
+    varying-mesh-axes annotation, so make_sharded_rhs must run with
+    check_vma=False — this combination raised a ValueError before the
+    round-3 fix (and was validated bit-exact COMPILED on the real TPU,
+    PARITY.md)."""
+    from esdg_cns_tpu.parallel.sharding import make_sharded_cns_rhs_affine
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=8)
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True,
+              volume_impl="fused_hex", interpret=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs_affine(disc, **kw))(q0)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_cns_rhs_affine(mesh, disc, **kw))(q0)
+    scale = float(jnp.abs(dq_ref).max())
+    np.testing.assert_allclose(np.asarray(dq_sm) / scale,
+                               np.asarray(dq_ref) / scale,
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(float(aux_sm["rhstest"]),
+                               float(aux_ref["rhstest"]), atol=1e-10)
+
+
 def test_shard_map_rejects_dirichlet_closures():
     """Dirichlet regions close over global-shaped arrays; the halo path
     must refuse them loudly (pjit path handles them)."""
