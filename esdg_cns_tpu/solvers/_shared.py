@@ -76,16 +76,34 @@ def adiabatic_mask(disc, bc):
     return am
 
 
+def flux_to_conservative(q, gamma):
+    """(rho, u_1..d, beta) flux-variable rows -> conservative rows
+    (rho, m_1..d, E) with p = rho / (2 beta), dimension-generic."""
+    rho, beta = q[0], q[-1]
+    vel = [q[1 + d] for d in range(q.shape[0] - 2)]
+    e = rho / (2.0 * beta * (gamma - 1.0)) + 0.5 * rho * sum(
+        v * v for v in vel
+    )
+    return jnp.concatenate(
+        [rho[None]] + [(rho * v)[None] for v in vel] + [e[None]], axis=0
+    )
+
+
 def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
                      bc_inviscid=None, extra_parts=(), t=0.0):
     """Merged neighbor exchange + EC surface flux + LF dissipation.
 
     One batched exchange carries the flux-variable traces qm, the
-    conservative traces uf (for the LF term), the precomputed logs, the
-    LF wavespeed (when dissipation is on) and any caller extras (the
-    CNS paths append the entropy-variable traces so the viscous
-    gradient rides the same exchange — SURVEY.md 3.3 compression of the
-    reference's 3 exchanges).
+    precomputed logs, and any caller extras (the CNS paths append the
+    entropy-variable traces so the viscous gradient rides the same
+    exchange — SURVEY.md 3.3 compression of the reference's 3
+    exchanges).  Comm-avoiding layout: the conservative traces and the
+    LF wavespeed never cross the interconnect — both sides recompute
+    them pointwise from the exchanged flux variables (the wavespeed's
+    normal momentum uses the LOCAL normal; conforming faces carry
+    exactly negated normals, and negation/|.| are exact in IEEE, so
+    the value is preserved to setup roundoff).  Same design as the
+    fused Euler surface kernel (ops.pallas_volume._surface_kernel).
 
     Returns (flux [Nf, Nfq, K] ready for LIFT, extras_nbr) where
     extras_nbr is the gathered counterpart of extra_parts concatenated
@@ -93,17 +111,15 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
     """
     dim = disc.dim
     nf = qm.shape[0]
-    parts = [qm, uf, qm_log]
-    if dissipation:
-        rhoun = sum(uf[1 + d] * disc.nxj[d] for d in range(dim))
-        lam_m = phys.wavespeed(uf[0], rhoun * disc.inv_sj, uf[-1], gamma)
-        parts.append(lam_m[None])
-    n_inv = sum(p.shape[0] for p in parts)
+    parts = [qm, qm_log]
+    n_inv = nf + 2
     parts.extend(extra_parts)
     nbr = gather(jnp.concatenate(parts, axis=0))
     qp = nbr[:nf]
-    up = nbr[nf:2 * nf]
-    qp_log = nbr[2 * nf:2 * nf + 2]
+    qp_log = nbr[nf:nf + 2]
+    up = flux_to_conservative(qp, gamma) if (dissipation
+                                             or bc_inviscid is not None) \
+        else None
 
     if bc_inviscid is not None:
         qp, up = bc_inviscid(disc, qm, qp, uf, up, t)
@@ -113,8 +129,11 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
         fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
     flux = sum(f * n[None] for f, n in zip(fs, disc.nxj))
     if dissipation:
-        lam_p = nbr[n_inv - 1]
-        lfc = 0.25 * jnp.maximum(lam_m, lam_p) * disc.sj
+        def lam(u):
+            rhoun = sum(u[1 + d] * disc.nxj[d] for d in range(dim))
+            return phys.wavespeed(u[0], rhoun * disc.inv_sj, u[-1], gamma)
+
+        lfc = 0.25 * jnp.maximum(lam(uf), lam(up)) * disc.sj
         flux = flux - lfc[None] * (up - uf)
     return flux, nbr[n_inv:]
 
