@@ -159,6 +159,7 @@ def build_discretization(
     dtype: Optional[jnp.dtype] = None,
     grid_shape: Optional[tuple] = None,
     return_host: bool = False,
+    geo_filters: Optional[tuple] = None,
 ) -> Discretization:
     """Assemble the full device-resident discretization.
 
@@ -171,10 +172,16 @@ def build_discretization(
         curve the mesh after vertex interpolation (reference
         dg3D_euler_hex.jl:69-75 pattern).
       dtype: compute dtype (defaults to jnp default float).
+      geo_filters: optional (Fr, Fs, Ft) [Np, Np] matrices filtering the
+        curl-form metric construction (3D only; reference
+        src/geometric_factors.jl:34,43 over-integration filters).
     """
     dtype = jnp.zeros(0).dtype if dtype is None else dtype
     dim = ref.dim
     k = etov.shape[0]
+    if geo_filters is not None and dim != 3:
+        raise ValueError("geo_filters is only meaningful for the 3D "
+                         "curl-form metric construction")
 
     # nodal coordinates: x = V1 @ VX[EToV]^T   (SetupDG.jl:287)
     coords = [ref.v1 @ np.asarray(v)[etov].T for v in vertices]
@@ -207,7 +214,7 @@ def build_discretization(
         rxj, sxj, ryj, syj, jac_np = geometric_factors_2d(*coords, *ref.d)
         geo_list = [rxj, ryj, sxj, syj]
     else:
-        g = geometric_factors_3d(*coords, *ref.d)
+        g = geometric_factors_3d(*coords, *ref.d, filters=geo_filters)
         rxj, sxj, txj, ryj, syj, tyj, rzj, szj, tzj = g[:9]
         jac_np = g[9]
         geo_list = [rxj, ryj, rzj, sxj, syj, szj, txj, tyj, tzj]

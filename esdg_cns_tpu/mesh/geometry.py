@@ -22,16 +22,26 @@ def geometric_factors_2d(x, y, dr, ds):
     return ys, -yr, -xs, xr, j
 
 
-def geometric_factors_3d(x, y, z, dr, ds, dt):
+def geometric_factors_3d(x, y, z, dr, ds, dt, filters=None):
     """Curl-form metric terms (Kopriva 2006) ensuring discrete
     free-stream preservation.  Returns
     (rxJ, sxJ, txJ, ryJ, syJ, tyJ, rzJ, szJ, tzJ, J), each [Np, K].
+
+    ``filters``: optional (Fr, Fs, Ft) matrices applied to the curl
+    arguments (Da)*b before differentiating, for over-integrated /
+    aliasing-filtered geometry (reference src/geometric_factors.jl:34,43
+    ``Filters=(I,I,I)``).  Because the outer curl acts on the FILTERED
+    fields, the discrete metric identities (free-stream preservation)
+    hold for any choice of filters representable in the nodal basis.
     """
     d = (dr, ds, dt)
+    fr_m, fs_m, ft_m = (None, None, None) if filters is None else filters
 
     def curl_terms(a, b):
         """Metric triple from the curl of (Da) * b along each direction."""
         fr, fs, ft = (dr @ a) * b, (ds @ a) * b, (dt @ a) * b
+        if filters is not None:
+            fr, fs, ft = fr_m @ fr, fs_m @ fs, ft_m @ ft
         c_r = dt @ fs - ds @ ft
         c_s = dr @ ft - dt @ fr
         c_t = ds @ fr - dr @ fs

@@ -1,3 +1,4 @@
+from . import launch
 from .ensemble import ensemble
 from .halo import (
     HaloExchange,
@@ -16,6 +17,7 @@ from .sharding import (
 
 __all__ = [
     "ensemble",
+    "launch",
     "HaloExchange",
     "HexSlabHalo",
     "build_halo_exchange",

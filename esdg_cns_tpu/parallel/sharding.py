@@ -119,16 +119,23 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
                       **(dict(bc=bc_in) if bc_in is not None else {}), **kw)
         return rhs(q, t)
 
+    # pallas_call outputs carry no varying-mesh-axes annotation, so
+    # builders that route through the fused Mosaic kernels fail the vma
+    # check; skip it ONLY for those (shapes/specs are still validated),
+    # keeping the full safety check for pure-XLA builders.  viscous_impl
+    # 'auto' resolves to 'fused' exactly when the volume path is fused
+    # (solvers/cns_fused.py), so gating on the explicit kernel selectors
+    # covers it.
+    uses_pallas = (
+        kw.get("volume_impl") in ("fused", "fused_hex")
+        or kw.get("viscous_impl") == "fused"
+        or kw.get("flux_diff_impl") in ("pallas", "lines_pallas")
+    )
     sm = shard_map(
         fn, mesh=mesh,
         in_specs=(qspec, P(), disc_specs, halo_specs, bc_specs),
         out_specs=(qspec, P()),
-        # pallas_call outputs carry no varying-mesh-axes annotation, so
-        # builders that route through the fused Mosaic kernels
-        # (volume_impl='fused'/'fused_hex', viscous_impl='fused') fail
-        # the vma check; skip it (shapes/specs are still validated) —
-        # same as make_sharded_euler_rhs_fused
-        check_vma=False,
+        check_vma=not uses_pallas,
     )
 
     def rhs(q, t=0.0):

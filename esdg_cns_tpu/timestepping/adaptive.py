@@ -42,6 +42,7 @@ class DopriState(NamedTuple):
     n_rejected: jnp.ndarray
     n_stuck: jnp.ndarray     # consecutive dt-floor rejections
     last_aux: dict
+    hist: dict               # bounded step-history buffers (may be empty)
 
 
 def dopri45(
@@ -55,12 +56,29 @@ def dopri45(
     dt_min: float = 1e-9,
     dt_max_factor: float = 10.0,
     max_stuck: int = 100,
+    max_records: int = 0,
+    record_every: int = 1,
+    dt_clamp_base=None,
 ):
     """Integrate dq/dt = rhs(q, t) adaptively to t_end.
 
     ``rhs(q, t) -> (dq, aux)`` with aux a dict of scalars.  Returns
     (q_final, stats dict).  Jittable; the whole trajectory is one
     ``lax.while_loop``.
+
+    History recording (the reference pushes thist/dthist/rhstesthist
+    per step, dg2D_CNS_cavity_optimized.jl:1039-1042; under jit the
+    equivalent is a bounded preallocated buffer): with
+    ``max_records > 0``, every ``record_every``-th ACCEPTED step writes
+    (t, dt, err, *aux scalars) into fixed-size arrays returned as
+    ``stats['history']`` (dict of [max_records] arrays, NaN-padded)
+    with ``stats['n_records']`` valid entries; recording stops silently
+    when the buffer is full.
+
+    ``dt_clamp_base``: base step for the [dt_min, 10*base] controller
+    clamp when it differs from ``dt0`` — chunked/resumed runs pass the
+    run-global initial step here while seeding ``dt0`` with the carried
+    adaptive step, keeping the clamp identical to an unchunked run.
 
     Robustness beyond the reference loop: a non-finite error estimate
     (NaN state, e.g. an under-resolved shock driving the entropy
@@ -109,11 +127,31 @@ def dopri45(
 
         dtnew = 0.8 * dt * (0.9 / err) ** (0.4 / (order + 1))
         dtnew = dtnew * (s.prev_err / err) ** (0.3 / (order + 1))
-        dtnew = jnp.clip(dtnew, dt_min, dt_max_factor * dt0)
+        dtnew = jnp.clip(
+            dtnew, dt_min,
+            dt_max_factor * (dt0 if dt_clamp_base is None else dt_clamp_base),
+        )
 
         at_floor = jnp.logical_and(~accept, dtnew <= dt_min * (1 + 1e-6))
         n_stuck = jnp.where(accept, 0,
                             jnp.where(at_floor, s.n_stuck + 1, s.n_stuck))
+
+        hist = s.hist
+        if max_records:
+            rec = jnp.logical_and(
+                accept,
+                jnp.logical_and(s.n_accepted % record_every == 0,
+                                hist["n_records"] < max_records),
+            )
+            idx = jnp.minimum(hist["n_records"], max_records - 1)
+            vals = {"t": t, "dt": dt, "err": err,
+                    **{k: v for k, v in aux.items()
+                       if jnp.ndim(v) == 0}}
+            hist = {
+                "n_records": hist["n_records"] + rec.astype(jnp.int32),
+                **{k: jnp.where(rec, hist[k].at[idx].set(vals[k]), hist[k])
+                   for k in hist if k != "n_records"},
+            }
 
         return DopriState(
             q=q, t=t, dt=dtnew, prev_err=err, k1=k1,
@@ -121,9 +159,17 @@ def dopri45(
             n_rejected=s.n_rejected + 1 - accept.astype(jnp.int32),
             n_stuck=n_stuck.astype(jnp.int32),
             last_aux=aux,
+            hist=hist,
         )
 
     k1_0, aux0 = rhs(q0, jnp.asarray(t0, dtype))
+    hist0 = {}
+    if max_records:
+        nanbuf = jnp.full((max_records,), jnp.nan, dtype)
+        hist0 = {"n_records": jnp.asarray(0, jnp.int32),
+                 "t": nanbuf, "dt": nanbuf, "err": nanbuf,
+                 **{k: nanbuf for k, v in aux0.items()
+                    if jnp.ndim(v) == 0}}
     init = DopriState(
         q=q0,
         t=jnp.asarray(t0, dtype),
@@ -134,6 +180,7 @@ def dopri45(
         n_rejected=jnp.asarray(0, jnp.int32),
         n_stuck=jnp.asarray(0, jnp.int32),
         last_aux=aux0,
+        hist=hist0,
     )
     final = jax.lax.while_loop(
         lambda s: jnp.logical_and(s.t < t_end, s.n_stuck < max_stuck),
@@ -147,4 +194,8 @@ def dopri45(
         "stalled": final.n_stuck >= max_stuck,
         **{k: v for k, v in final.last_aux.items()},
     }
+    if max_records:
+        stats["n_records"] = final.hist["n_records"]
+        stats["history"] = {k: v for k, v in final.hist.items()
+                            if k != "n_records"}
     return final.q, stats

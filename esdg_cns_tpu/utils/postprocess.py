@@ -43,6 +43,50 @@ def write_npz(path: str, **arrays):
     np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
 
 
+def extract_line(disc, fields, axis: int = 0, value: float = 0.0,
+                 tol: float = 1e-10):
+    """Sample nodal fields along a coordinate line through the domain.
+
+    Interpolates to the equi-spaced plot nodes (exact basis evaluation,
+    the reference's Vp machinery, dg2D_CNS_cavity_optimized.jl:1060-1069)
+    and keeps the nodes with ``|x_axis - value| < tol``; duplicated
+    points (element interfaces) are averaged.  On the uniform cavity
+    meshes the centerlines x=0 / y=0 coincide with element boundaries
+    and plot-node lines, so this is an exact trace of the DG solution.
+
+    Returns (s, vals): s [M] the sorted coordinate(s) along the line
+    (the remaining axis in 2D), vals [..., M] field values.
+    """
+    coords = plot_coordinates(disc)
+    fields = np.asarray(fields)
+    fp = np.einsum("ij,...jk->...ik", np.asarray(disc.vp), fields)
+    on_line = np.abs(coords[axis] - value) < tol
+    if not on_line.any():
+        raise ValueError(
+            f"no plot nodes on the line x[{axis}] = {value}; "
+            f"refine tol or pick a mesh line"
+        )
+    other_axes = [a for a in range(len(coords)) if a != axis]
+    s = np.stack([coords[a][on_line] for a in other_axes], axis=-1)
+    v = fp[..., on_line]
+    # average duplicates (element-interface nodes appear once per side)
+    key = np.round(s / max(tol, 1e-14)).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    m = uniq.shape[0]
+    counts = np.bincount(inv, minlength=m)
+    s_out = np.zeros((m, s.shape[-1]))
+    for d in range(s.shape[-1]):
+        s_out[:, d] = np.bincount(inv, weights=s[:, d], minlength=m) / counts
+    v_flat = v.reshape(-1, v.shape[-1])
+    v_out = np.stack(
+        [np.bincount(inv, weights=row, minlength=m) / counts
+         for row in v_flat]
+    ).reshape(*v.shape[:-1], m)
+    order = np.lexsort(s_out.T[::-1])
+    s_out = s_out[order]
+    return (s_out[:, 0] if s_out.shape[1] == 1 else s_out), v_out[..., order]
+
+
 def velocity_magnitude_squared(q):
     """(u^2 + v^2 [+ w^2]) from stacked conservative fields (the
     cavity driver's plotted observable, :1068)."""

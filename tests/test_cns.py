@@ -147,3 +147,52 @@ def test_dopri45_nan_bailout():
     assert float(stats["t"]) == 0.0
     assert int(stats["n_accepted"]) == 0
     np.testing.assert_array_equal(np.asarray(qf), np.asarray(q0))
+
+
+def test_global_conservation():
+    """Pin the comm-avoiding exchange's conservation behavior
+    (docs/design.md known deviations; ADVICE r3): on a periodic mesh the
+    domain integral of the RHS of every conservative field is zero up to
+    roundoff (interface fluxes and LF penalties cancel to the round-trip
+    precision of the flux-variable exchange), and multi-step LSRK45 mass
+    and energy drift stays at accumulation-roundoff level.
+    """
+    from esdg_cns_tpu.core import build_discretization, ref_tri
+    from esdg_cns_tpu.mesh import uniform_tri_mesh
+    from esdg_cns_tpu.physics import primitive_to_conservative
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine, make_euler_rhs
+    from esdg_cns_tpu.timestepping import lsrk45
+
+    vx, vy, etov = uniform_tri_mesh(6)
+    disc = build_discretization(ref_tri(3), (vx, vy), etov,
+                                periodic_axes=(0, 1))
+    rng = np.random.default_rng(3)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(1.0 + 0.2 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(1.0 + 0.2 * rng.random(sh)),
+    )
+
+    def integrals(q):
+        # domain integral per field: sum wJq * (Vq q)
+        return jnp.einsum("jk,fjk->f", disc.wjq,
+                          jnp.einsum("ij,fjk->fik", disc.vq, q))
+
+    for rhs in (
+        make_euler_rhs(disc, dissipation=True, compute_rhstest=False),
+        make_cns_rhs_affine(disc, mu=1e-3, re=1e3,
+                            inviscid_dissipation=True,
+                            viscous_dissipation=False,
+                            compute_rhstest=False),
+    ):
+        dq, _ = rhs(q0)
+        tot = np.asarray(integrals(dq))
+        scale = float(np.abs(np.asarray(dq)).max())
+        assert np.abs(tot).max() < 1e-12 * scale, tot
+
+        qf, _ = jax.jit(lambda q, r=rhs: lsrk45(r, q, jnp.float64(2e-4),
+                                                20))(q0)
+        drift = np.asarray(integrals(qf) - integrals(q0))
+        ref = np.abs(np.asarray(integrals(q0)))
+        assert np.abs(drift / ref).max() < 1e-12, drift / ref

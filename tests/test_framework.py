@@ -194,3 +194,67 @@ def test_wall_bc_convergence_study_results():
         assert len(errs) == 4
         assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), errs
         assert errs[0] > 0.03 and errs[-1] < 0.002   # pin the scale
+
+
+def test_checkpoint_npz_fallback(tmp_path):
+    """The non-orbax path: path-keyed npz with template verification
+    (VERDICT r3 weak item 6)."""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                            use_orbax=False)
+    assert mgr._mgr is None  # actually exercising the fallback
+    state = {
+        "q": jnp.arange(12.0).reshape(3, 4),
+        "t": jnp.asarray(0.5),
+        "step": 7,
+    }
+    mgr.save(7, state)
+    mgr.save(9, state)
+    restored = mgr.restore(template=state)
+    np.testing.assert_allclose(np.asarray(restored["q"]),
+                               np.asarray(state["q"]))
+    assert float(restored["t"]) == 0.5
+    assert restored["step"] == 7
+
+    # restore is keyed by pytree path, not insertion order
+    with pytest.raises(ValueError, match="does not match the template"):
+        mgr.restore(template={"q": state["q"], "time": state["t"],
+                              "step": 7})
+    with pytest.raises(ValueError, match="shape"):
+        mgr.restore(template={"q": jnp.zeros((4, 3)), "t": state["t"],
+                              "step": 7})
+    with pytest.raises(ValueError, match="template"):
+        mgr.restore()
+
+    # max_to_keep pruning
+    mgr.save(11, state)
+    assert sorted(mgr._npz_steps()) == [9, 11]
+    assert mgr.latest_step() == 11
+
+
+def test_launch_helpers():
+    """Multi-host bootstrap helper (SURVEY 2.4 launcher row): single
+    process is a no-op; mesh construction covers 1D and 2D layouts."""
+    import os
+
+    import pytest
+
+    from esdg_cns_tpu.parallel import launch
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        os.environ.pop(var, None)
+    assert launch.maybe_initialize() is False
+
+    mesh = launch.make_device_mesh()
+    assert mesh.axis_names == ("e",)
+    assert mesh.devices.size == jax.device_count()
+
+    mesh2 = launch.make_device_mesh(shape=(2, jax.device_count() // 2),
+                                    axis_names=("ens", "e"))
+    assert mesh2.shape["ens"] == 2
+    with pytest.raises(ValueError, match="devices"):
+        launch.make_device_mesh(shape=(3,))
+    with pytest.raises(ValueError, match="equal length"):
+        launch.make_device_mesh(shape=(2, 4), axis_names=("e",))

@@ -130,3 +130,66 @@ def test_geometric_factors_3d_curved_metric_identity():
     np.testing.assert_allclose(dr @ ryj + ds @ syj + dt @ tyj, 0, atol=1e-11)
     np.testing.assert_allclose(dr @ rzj + ds @ szj + dt @ tzj, 0, atol=1e-11)
     assert np.all(j > 0)
+
+
+def test_geometric_factors_3d_filters():
+    """Over-integration filter hook (reference geometric_factors.jl:34,43):
+    identity filters reproduce the unfiltered metrics exactly; a modal
+    low-pass filter changes them on a curved mesh but PRESERVES the
+    discrete metric identities (the curl acts on the filtered fields)."""
+    vx, vy, vz, etov = uniform_hex_mesh(2)
+    ref = ref_hex(3)
+    x = ref.v1 @ vx[etov].T
+    y = ref.v1 @ vy[etov].T
+    z = ref.v1 @ vz[etov].T
+    dxc = 0.1 * (x - 1) * (x + 1) * (y - 1) * (y + 1) * (z - 1) * (z + 1)
+    x, y, z = x + dxc, y + dxc, z + dxc
+
+    eye = np.eye(ref.np_)
+    g_plain = geometric_factors_3d(x, y, z, *ref.d)
+    g_eye = geometric_factors_3d(x, y, z, *ref.d, filters=(eye, eye, eye))
+    for a, b in zip(g_plain, g_eye):
+        np.testing.assert_array_equal(a, b)
+
+    # modal low-pass: zero the top-degree modes
+    keep = np.ones(ref.np_)
+    keep[-ref.np_ // 4:] = 0.0
+    filt = ref.vdm @ np.diag(keep) @ np.linalg.inv(ref.vdm)
+    g_f = geometric_factors_3d(x, y, z, *ref.d, filters=(filt, filt, filt))
+    rxj, sxj, txj, ryj, syj, tyj, rzj, szj, tzj, j = g_f
+    # the filter actually does something on a curved mesh
+    assert np.abs(g_f[0] - g_plain[0]).max() > 1e-8
+    dr, ds, dt = ref.d
+    np.testing.assert_allclose(dr @ rxj + ds @ sxj + dt @ txj, 0, atol=1e-11)
+    np.testing.assert_allclose(dr @ ryj + ds @ syj + dt @ tyj, 0, atol=1e-11)
+    np.testing.assert_allclose(dr @ rzj + ds @ szj + dt @ tzj, 0, atol=1e-11)
+
+
+def test_build_discretization_geo_filters():
+    from esdg_cns_tpu.core import build_discretization
+
+    ref = ref_hex(2)
+    vx, vy, vz, etov = uniform_hex_mesh(2)
+
+    def warp(x, y, z):
+        d = 0.05 * (x - 1) * (x + 1) * (y - 1) * (y + 1) * (z - 1) * (z + 1)
+        return x + d, y + d, z + d
+
+    keep = np.ones(ref.np_)
+    keep[-2:] = 0.0
+    filt = ref.vdm @ np.diag(keep) @ np.linalg.inv(ref.vdm)
+    disc = build_discretization(
+        ref, (vx, vy, vz), etov, curved_map=warp,
+        geo_filters=(filt, filt, filt),
+    )
+    assert np.isfinite(np.asarray(disc.geo)).all()
+
+    import pytest
+
+    from esdg_cns_tpu.core import ref_tri
+    from esdg_cns_tpu.mesh import uniform_tri_mesh as utm
+
+    vx2, vy2, etov2 = utm(2)
+    with pytest.raises(ValueError, match="3D"):
+        build_discretization(ref_tri(2), (vx2, vy2), etov2,
+                             geo_filters=(filt, filt, filt))
