@@ -16,6 +16,11 @@ Prints ONE JSON line:
   {"metric": "dof_rk_stage_per_s", "value": ..., "unit": "DOF*stage/s",
    "vs_baseline": value / 1e9, "extras": {...}}
 
+"value" is the MEDIAN over BENCH_REPS (default 7) timing repeats;
+"best" and "spread_pct" make the run-to-run noise visible in the
+artifact (round-3 lesson: a best-of-3 headline was 15% above what the
+driver's later run reproduced).
+
 Each config also reports a roofline block: analytic FLOPs and minimum
 HBM bytes per RHS (counting model documented in _roofline_* below),
 achieved GFLOP/s and GB/s, and the fraction of the roofline-implied
@@ -72,7 +77,15 @@ PEAK_F32_FLOPS = 197e12 / 6.0    # 6-pass HIGHEST f32 matmul equivalent
 
 
 def _time_steps(rhs, q0, steps):
+    """Return per-repeat wall times (seconds) for `steps` LSRK45 steps.
+
+    BENCH_REPS repeats (default 7; >=5 so the recorded artifact is
+    robust to the +-30% run-to-run noise of the tunneled device — the
+    round-3 artifact's best-of-3 undershot the committed claim by 15%).
+    The headline uses the MEDIAN; best and spread ride in the JSON.
+    """
     dt = jnp.float32(1e-6)  # timing run; stability not at issue
+    reps = int(os.environ.get("BENCH_REPS", 7))
 
     @jax.jit
     def run(q):
@@ -81,12 +94,27 @@ def _time_steps(rhs, q0, steps):
 
     q0 = jax.device_put(q0)
     run(q0).block_until_ready()  # compile + warm up
-    elapsed = float("inf")       # best-of-3 (tunneled-device timing noise)
-    for _ in range(3):
+    times = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         run(q0).block_until_ready()
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    return elapsed
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def _stats(times, dof_stages):
+    """Median/best/spread throughput stats from per-repeat times."""
+    ts = sorted(times)
+    median = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (
+        ts[len(ts) // 2 - 1] + ts[len(ts) // 2])
+    best = ts[0]
+    return {
+        "value": dof_stages / median,          # headline: median rate
+        "best": dof_stages / best,
+        "spread_pct": 100.0 * (ts[-1] - ts[0]) / median,
+        "reps": len(ts),
+        "median_elapsed_s": median,
+    }
 
 
 # -----------------------------------------------------------------------------
@@ -238,17 +266,18 @@ def bench_euler_hex(n_default=3, k1d_default=32):
         rhs = make_euler_rhs(
             disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False
         )
-    elapsed = _time_steps(rhs, q0, steps)
+    times = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements
-    stage_s = elapsed / (5 * steps)
+    st = _stats(times, dof * 5 * steps)
     out = {
         "metric": ("dof_rk_stage_per_s" if n == 3
                    else f"dof_rk_stage_per_s_n{n}"),
-        "value": dof * 5 * steps / elapsed,
         "unit": "DOF*stage/s",
         "baseline": NORTH_STAR,
+        **st,
     }
-    out["roofline"] = _with_roofline(disc, stage_s, _roofline_euler_hex_fused)
+    out["roofline"] = _with_roofline(
+        disc, st["median_elapsed_s"] / (5 * steps), _roofline_euler_hex_fused)
     return out
 
 
@@ -280,16 +309,17 @@ def bench_cns_cavity():
         flux_diff_impl=impl, volume_impl=volume_impl,
         compute_rhstest=False,
     )
-    elapsed = _time_steps(rhs, q0, steps)
+    times = _time_steps(rhs, q0, steps)
     dof = 4 * disc.np_ * disc.num_elements
-    stage_s = elapsed / (5 * steps)
+    st = _stats(times, dof * 5 * steps)
     out = {
         "metric": "cns_dof_rk_stage_per_s",
-        "value": dof * 5 * steps / elapsed,
         "unit": "DOF*stage/s",
         "baseline": CNS_ROUND1,
+        **st,
     }
-    out["roofline"] = _with_roofline(disc, stage_s, _roofline_cns_affine)
+    out["roofline"] = _with_roofline(
+        disc, st["median_elapsed_s"] / (5 * steps), _roofline_cns_affine)
     return out
 
 
@@ -315,16 +345,17 @@ def bench_cns_cavity_3d():
            else {"volume_impl": volume_impl, "interpret": on_cpu}),
         compute_rhstest=False,
     )
-    elapsed = _time_steps(rhs, q0, steps)
+    times = _time_steps(rhs, q0, steps)
     dof = 5 * disc.np_ * disc.num_elements
-    stage_s = elapsed / (5 * steps)
+    st = _stats(times, dof * 5 * steps)
     out = {
         "metric": "cns3d_dof_rk_stage_per_s",
-        "value": dof * 5 * steps / elapsed,
         "unit": "DOF*stage/s",
         "baseline": CNS_ROUND1,
+        **st,
     }
-    out["roofline"] = _with_roofline(disc, stage_s, _roofline_cns_affine)
+    out["roofline"] = _with_roofline(
+        disc, st["median_elapsed_s"] / (5 * steps), _roofline_cns_affine)
     return out
 
 
@@ -354,6 +385,9 @@ def main():
     out = {
         "metric": primary["metric"],
         "value": primary["value"],
+        "best": primary["best"],
+        "spread_pct": primary["spread_pct"],
+        "reps": primary["reps"],
         "unit": primary["unit"],
         "vs_baseline": primary["value"] / primary.pop("baseline"),
         "roofline": primary["roofline"],
