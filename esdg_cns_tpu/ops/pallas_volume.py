@@ -33,7 +33,7 @@ from .tensor_product_fd import LineOps, _hex_line_coeffs
 
 def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
                    ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma,
-                   curved, view_acc=False, diag=False):
+                   curved, view_acc=False, diag=False, pad_x=False):
     nq = n1 ** 3
     nfp = n1 * n1
     nf = q_ref.shape[0]
@@ -97,14 +97,25 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
     traces_ref[6] = qlog[1][nq:, :]
 
     # ---- line-sparse flux differencing ----
+    if pad_x:
+        # sublane-padded fd body (affine only): all three directions
+        # on ONE x-padded rank-4 view set, shared with the split path
+        acc_vol, fr8 = _fd_pad8(
+            lambda f: qh[f], lambda l: qlog[l], geo, cvol, cface,
+            n1=n1, nf=nf, kb=kb, gamma=gamma, dirs=(0, 1, 2), diag=diag,
+            dtype=q.dtype,
+        )
+        face_rows = [fr8[fid] for fid in range(6)]
+
     shapes = {0: (nfp, n1), 1: (n1, n1, n1), 2: (n1, nfp)}
     axes = {0: 1, 1: 1, 2: 0}
-    acc_vol = [jnp.zeros((nq, kb), q.dtype) for _ in range(nf)]
-    face_rows = [[None] * nf for _ in range(6)]
+    if not pad_x:
+        acc_vol = [jnp.zeros((nq, kb), q.dtype) for _ in range(nf)]
+        face_rows = [[None] * nf for _ in range(6)]
 
     vol = [x[:nq] for x in qh]
     vlog = [l[:nq] for l in qlog]
-    for d in range(3):
+    for d in range(3) if not pad_x else ():
         shape, axis = shapes[d], axes[d]
         vshape = (*shape, kb)
         vol_d = [v.reshape(vshape) for v in vol]
@@ -282,7 +293,10 @@ def default_block_k(n: int, volume_mode: str = "joint") -> int:
     overhead dominates and WIDE lane blocks amortize it — N=4 split at
     512 runs 2.25x faster than at 128, and N=2 (n1=3) at 1024 runs
     2.1x faster (1.01e9 -> 2.12e9 full RHS, K=32768; 512 -> 1.90e9,
-    2048 -> 1.93e9)."""
+    2048 -> 1.93e9).  The round-4 pad8 kernels keep the same widths:
+    with the x axis sublane-padded the blocks are tile-aligned but
+    carry n1p/n1 padded rows, and wide lanes still win (N=2 joint_pad8
+    1024 = 2.43e9 vs 512 = 2.37e9; N=4 joint_pad8 512 = 2.84e9)."""
     n1 = n + 1
     if 8 % n1 == 0:
         return 128
@@ -292,12 +306,12 @@ def default_block_k(n: int, volume_mode: str = "joint") -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
-                     "view_acc", "diag"),
+                     "view_acc", "diag", "pad_x"),
 )
 def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
                         line_ops: LineOps, block_k: int = 128,
                         interpret: bool = False, view_acc: bool = False,
-                        diag: bool = False):
+                        diag: bool = False, pad_x: bool = False):
     """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [7, Nfq, K])
     with traces = (rho, u1, u2, u3, beta, log rho, log beta) at the face
     points."""
@@ -327,9 +341,11 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
     wf_np = w1[fidx % n1] * w1[fidx // n1]
     iwf = jnp.asarray(np.repeat((1.0 / wf_np)[:, None], 128, axis=1), q.dtype)
 
+    if pad_x and curved:
+        raise ValueError("pad_x requires an affine mesh")
     kernel = functools.partial(_volume_kernel, n1=n1, gamma=gamma,
                                curved=curved, view_acc=view_acc,
-                               diag=diag and not curved)
+                               diag=diag and not curved, pad_x=pad_x)
     out, traces = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
@@ -533,6 +549,155 @@ def _fd_dir_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref, out_ref,
         out_ref[f, nq + nfp:, :] = face_rows[1][f]
 
 
+def _fd_pad8(get_qh, get_qlog, geo, cvol, cface, *, n1, nf, kb, gamma,
+             dirs, diag, dtype):
+    """Shared triangular fd body with the line (x) axis SUBLANE-PADDED
+    to a full 8-row tile (round-4, VERDICT item 2).
+
+    Same flux arithmetic and pair structure as _fd_dir_kernel, but all
+    values live in rank-4 (z, y, x_pad, KB) views with x padded from n1
+    to the next multiple of 8.  Rationale: at n1=5 each 5-row line
+    straddles 8-sublane tiles with a DIFFERENT phase per line (5 and 8
+    are coprime), so every strided slice/op needs per-phase handling —
+    the measured fixed per-op overhead behind the N=4 cliff.  With x
+    padded to 8, every line is exactly one tile row block and every
+    x-slice has one uniform mask.  Pad values are the quiescent state
+    (rho=1, u=0, beta=1, logs=0) so the flux algebra stays finite;
+    padded positions carry ZERO quadrature coefficients, so they
+    contribute nothing (exactly the lane-padding contract of
+    euler_volume_split_pallas).
+
+    Args:
+      get_qh(f) / get_qlog(l): row accessors returning (Nh, KB) values.
+      dirs: directions to accumulate (the split path passes one, the
+        joint kernel all three).  Affine metrics only (geo [9, 1, KB]).
+
+    Returns (acc_flat, face_rows): acc_flat[f] is the (nq, KB) volume
+    accumulation; face_rows[fid][f] the (nfp, KB) face rows for each
+    fid in 2*d+side over the requested dirs.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    n1p = -(-n1 // 8) * 8
+    quies = {0: 1.0, nf - 1: 1.0}   # rho = beta = 1 at padded nodes
+
+    def pad_x(a, fill):
+        # a: (z, y, x=n1, kb) -> (z, y, n1p, kb)
+        padshape = a.shape[:2] + (n1p - n1,) + a.shape[3:]
+        return jnp.concatenate(
+            [a, jnp.full(padshape, fill, a.dtype)], axis=2)
+
+    vol_d = [pad_x(get_qh(f)[:nq].reshape(n1, n1, n1, kb),
+                   quies.get(f, 0.0)) for f in range(nf)]
+    log_d = [pad_x(get_qlog(l)[:nq].reshape(n1, n1, n1, kb), 0.0)
+             for l in range(2)]
+
+    def coeff_view(row):
+        # row: (nq, 1) quadrature pair coefficients -> padded rank-4
+        # view with ZEROS at padded x positions
+        return pad_x(row.reshape(n1, n1, n1, 1), 0.0)
+
+    acc = [jnp.zeros((n1, n1, n1p, kb), dtype) for _ in range(nf)]
+    face_rows = {}
+    fshapes = {0: (n1, n1, 1), 1: (n1, 1, n1), 2: (1, n1, n1)}
+    for d in dirs:
+        axis = {0: 2, 1: 1, 2: 0}[d]
+        flux_dirs = (d,) if diag else None
+        if diag:
+            geo_d = [geo[d * 3 + d, 0].reshape(1, 1, 1, kb)]
+        else:
+            geo_d = [geo[d * 3 + x, 0].reshape(1, 1, 1, kb)
+                     for x in range(3)]
+
+        def contract(fluxes):
+            if diag:
+                return [geo_d[0] * fluxes[0][f] for f in range(nf)]
+            out = []
+            for f in range(nf):
+                t = None
+                for x in range(3):
+                    term = geo_d[x] * fluxes[x][f]
+                    t = term if t is None else t + term
+                out.append(t)
+            return out
+
+        def line_slice(arr, j):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(j, j + 1)
+            return arr[tuple(sl)]
+
+        def axis_slice(arr, hi):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(0, hi)
+            return arr[tuple(sl)]
+
+        ext = n1p if axis == 2 else n1   # accumulator extent along axis
+        for ap in range(1, n1):
+            qi = tuple(axis_slice(v, ap) for v in vol_d)
+            li = tuple(axis_slice(l, ap) for l in log_d)
+            qj = tuple(line_slice(v, ap) for v in vol_d)
+            lj = tuple(line_slice(l, ap) for l in log_d)
+            fluxes = ec_flux_fields(qi, qj, li, lj, gamma, dirs=flux_dirs)
+            fr = contract(fluxes)
+            c = axis_slice(coeff_view(cvol[d * n1 + ap, :, 0:1]), ap)
+            zshape = [n1, n1, n1p, kb]
+            zshape[axis] = ext - ap - 1
+            for f in range(nf):
+                w = c * fr[f]
+                parts = [w, -jnp.sum(w, axis=axis, keepdims=True)]
+                if zshape[axis]:
+                    parts.append(jnp.zeros(zshape, w.dtype))
+                acc[f] = acc[f] + jnp.concatenate(parts, axis=axis)
+
+        for side in range(2):
+            fid = 2 * d + side
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+
+            def face_view(vals, fill):
+                a = vals.reshape(*fshapes[d], kb)
+                return a if d == 0 else pad_x(a, fill)
+
+            fvals = tuple(face_view(get_qh(f)[rows], quies.get(f, 0.0))
+                          for f in range(nf))
+            flog = tuple(face_view(get_qlog(l)[rows], 0.0)
+                         for l in range(2))
+            fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d),
+                                    flog, gamma, dirs=flux_dirs)
+            fr = contract(fluxes)
+            c = coeff_view(cface[fid, :, 0:1])
+            face_rows[fid] = []
+            for f in range(nf):
+                w = c * fr[f]
+                acc[f] = acc[f] + w
+                fsum = -jnp.sum(w, axis=axis)
+                if d != 0:   # face plane keeps the padded x axis: crop
+                    fsum = fsum[..., :n1, :]
+                face_rows[fid].append(fsum.reshape(nfp, kb))
+
+    acc_flat = [a[:, :, :n1].reshape(nq, kb) for a in acc]
+    return acc_flat, face_rows
+
+
+def _fd_dir_pad8_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
+                        out_ref, *, n1, gamma, d, diag=False):
+    """Split-path stage 2 on the sublane-padded fd body (_fd_pad8)."""
+    nq = n1 ** 3
+    nfp = n1 * n1
+    nf = qh_ref.shape[0]
+    kb = qh_ref.shape[2]
+    qh = qh_ref[...]
+    qlog = qlog_ref[...]
+    acc_flat, face_rows = _fd_pad8(
+        lambda f: qh[f], lambda l: qlog[l], geo_ref[...], cvol_ref[...],
+        cface_ref[...], n1=n1, nf=nf, kb=kb, gamma=gamma, dirs=(d,),
+        diag=diag, dtype=qh.dtype,
+    )
+    for f in range(nf):
+        out_ref[f, :nq, :] = acc_flat[f]
+        out_ref[f, nq:nq + nfp, :] = face_rows[2 * d][f]
+        out_ref[f, nq + nfp:, :] = face_rows[2 * d + 1][f]
+
+
 def _fd_dir_dense_chunked_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref,
                                  cface_ref, out_ref, *, n1, gamma, d,
                                  rows_per_chunk=24):
@@ -725,13 +890,13 @@ def _fd_dir_dense_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
-                     "dense", "view_acc", "chunk_rows", "diag"),
+                     "dense", "view_acc", "chunk_rows", "diag", "pad_x"),
 )
 def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
                               line_ops: LineOps, block_k: int = 128,
                               interpret: bool = False, dense: bool = False,
                               view_acc: bool = False, chunk_rows: int = 0,
-                              diag: bool = False):
+                              diag: bool = False, pad_x: bool = False):
     """Split fused volume stage (affine hex): projection kernel + three
     per-direction fd kernels + an XLA combine (Ph structure).
 
@@ -795,6 +960,9 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
         fd_kernel = functools.partial(_fd_dir_dense_chunked_kernel,
                                       rows_per_chunk=chunk_rows)
         fd_opts = {}
+    elif pad_x and not dense:
+        fd_kernel = _fd_dir_pad8_kernel
+        fd_opts = {"diag": diag}
     else:
         fd_kernel = _fd_dir_dense_kernel if dense else _fd_dir_kernel
         fd_opts = {"view_acc": view_acc}

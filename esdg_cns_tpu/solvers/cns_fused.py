@@ -222,21 +222,25 @@ def make_cns_rhs_affine(
         # Gauss-collocated hex: Vq = Pq = I, so the viscous front end is
         # pointwise/operator-direct (vuq = v(U), vqd = D_r v, vuf = Ef v)
         # and the whole inviscid volume stage rides the Euler fused
-        # kernel (projection, inverse map, line fd, Ph in VMEM); at
-        # N>=4 the split form with wide lane blocks, exactly as the
-        # Euler 'auto' mode (PARITY round 3).
+        # kernel (projection, inverse map, line fd, Ph in VMEM),
+        # mirroring the Euler 'auto' mode: at misaligned degrees
+        # (8 % n1 != 0) the sublane-padded joint kernel, at aligned
+        # N>=4 the split form with wide lane blocks (PARITY rounds
+        # 3-4).
         from ..ops.pallas_volume import (default_block_k,
                                          euler_volume_pallas,
                                          euler_volume_split_pallas)
 
-        split = disc.n >= 4
+        pad8 = 8 % (disc.n + 1) != 0
+        split = disc.n >= 4 and not pad8
         vol = euler_volume_split_pallas if split else euler_volume_pallas
-        bk = (default_block_k(disc.n, "split" if split else "joint")
+        mode = ("joint_pad8" if pad8 else "split" if split else "joint")
+        bk = (default_block_k(disc.n, mode)
               if block_k is None else block_k)
         ph_qf, tr = vol(
             q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, interpret=interpret,
-            block_k=bk, diag=hex_diag,
+            block_k=bk, diag=hex_diag, pad_x=pad8,
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]

@@ -78,24 +78,42 @@ def make_euler_rhs_fused(
         axis_aligned = detect_axis_aligned(disc)
 
     # volume_mode: 'joint' = the all-in-one kernel; 'split' = projection
-    # kernel + per-direction fd kernels + XLA combine (fastest at N>=4);
-    # 'split_dense' = split with dense flat-partner fd kernels (every op
-    # at flat (Nq, KB) tiles; measured SLOWER than triangular at both
-    # N=3 and N=4 — kept as the controlled experiment that rules out
-    # odd-extent sublane slicing as the N=4 cost driver, PARITY.md
-    # round 3); 'auto' picks by order (affine meshes only for the split
-    # variants).
+    # kernel + per-direction fd kernels + XLA combine; '*_pad8' =
+    # sublane-padded fd body (x axis padded to a full 8-row tile;
+    # affine only) — at misaligned degrees (8 % n1 != 0) this removes
+    # the per-op misalignment overhead that made round 3's split path
+    # look best (N=4: split 1.40e9 -> joint_pad8 2.60e9 DOF*stage/s;
+    # N=5: 1.61e9 -> 2.51e9); 'split_dense' = split with dense
+    # flat-partner fd kernels (measured SLOWER than triangular — kept
+    # as the controlled experiment that rules out odd-extent sublane
+    # slicing as the N=4 cost driver, PARITY.md round 3); 'auto' picks
+    # by alignment and order (affine meshes only for pad8/split).
     if volume_mode == "auto":
-        volume_mode = ("split" if disc.n >= 4 and disc.affine
-                       else "joint")
+        n1 = disc.n + 1
+        if disc.affine and 8 % n1 != 0:
+            volume_mode = "joint_pad8"
+        elif disc.n >= 4 and disc.affine:
+            volume_mode = "split"
+        else:
+            volume_mode = "joint"
     if volume_mode == "split_dense":
         from ..ops.pallas_volume import euler_volume_split_pallas
 
         _vol = functools.partial(euler_volume_split_pallas, dense=True)
+    elif volume_mode == "split_pad8":
+        # split with the x-axis sublane-padded triangular fd kernels
+        # (every line one full 8-row tile; round-4 experiment)
+        from ..ops.pallas_volume import euler_volume_split_pallas
+
+        _vol = functools.partial(euler_volume_split_pallas, pad_x=True,
+                                 diag=axis_aligned)
     elif volume_mode == "split":
         from ..ops.pallas_volume import euler_volume_split_pallas
 
         _vol = functools.partial(euler_volume_split_pallas,
+                                 diag=axis_aligned)
+    elif volume_mode == "joint_pad8":
+        _vol = functools.partial(euler_volume_pallas, pad_x=True,
                                  diag=axis_aligned)
     else:
         _vol = functools.partial(euler_volume_pallas, diag=axis_aligned)

@@ -76,9 +76,16 @@ def n4_variants():
     print(f"  dispatch floor: {floor:7.3f} ms/rep")
     args = (disc.geo, disc.vhp[disc.nq:], disc.lift, 1.4)
     kw = dict(nq=disc.nq, line_ops=disc.line_ops)
+    bk = int(os.environ.get("PERF_BLOCK_K", 128))
+    kw["block_k"] = bk
+    print(f"  block_k: {bk}")
     for label, fn, extra in (
         ("joint", euler_volume_pallas, {}),
         ("split tri", euler_volume_split_pallas, {}),
+        ("split tri pad8", euler_volume_split_pallas, dict(pad_x=True)),
+        ("split tri pad8+diag", euler_volume_split_pallas,
+         dict(pad_x=True, diag=True)),
+        ("split tri diag", euler_volume_split_pallas, dict(diag=True)),
         ("split tri+view", euler_volume_split_pallas, dict(view_acc=True)),
         ("split dense", euler_volume_split_pallas, dict(dense=True)),
         ("split dense+view", euler_volume_split_pallas,
