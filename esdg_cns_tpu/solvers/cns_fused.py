@@ -56,6 +56,7 @@ def make_cns_rhs_affine(
     flux_diff_impl: str = "auto",
     volume_impl: str = "xla",
     viscous_impl: str = "auto",
+    surface_impl: str = "auto",
     compute_rhstest: bool = True,
     rhstest_mode: str = "native",
     gather_fn=None,
@@ -91,6 +92,18 @@ def make_cns_rhs_affine(
         ops of launch latency for <0.5 GFLOP — the kernel removes it.
       'xla'  — the composed-operator XLA mid-section.
       'auto' — 'fused' whenever its requirements hold.
+
+    surface_impl:
+      'fused' — the whole post-exchange surface section (inviscid BC
+        ghosts, EC face flux + LF, entropy-variable BC + BR1 jump,
+        interface-penalty rows) runs as ONE Pallas kernel
+        (ops.pallas_cns_surface); the round-4 cumulative profile
+        attributed ~25% of the production cavity RHS to this section's
+        XLA launch/glue latency.  BC semantics identical by
+        construction: the kernel rebuilds the WallBC pytree from its
+        inputs and calls the same hooks.
+      'xla'  — the jnp path (solvers._shared.inviscid_surface).
+      'auto' — 'fused' whenever volume_impl is a fused kernel path.
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -168,6 +181,19 @@ def make_cns_rhs_affine(
                          or (viscous_impl == "auto" and fused_visc_ok))
     if viscous_impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
+    if surface_impl not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown surface_impl: {surface_impl!r}")
+    use_fused_surface = (
+        surface_impl == "fused"
+        or (surface_impl == "auto"
+            and volume_impl in ("fused", "fused_hex"))
+    )
+    if use_fused_surface:
+        from ..ops.pallas_cns_surface import (cns_surface_pallas,
+                                              prepare_surface_bc)
+
+        surf_pool, surf_recipe, surf_evals = prepare_surface_bc(
+            bc, adiab, dim)
     if use_fused_viscous:
         # front operator for the kernel.  Collocated hexes: Vq = Pq = I,
         # so the projection block is skipped entirely (proj=False —
@@ -272,17 +298,36 @@ def make_cns_rhs_affine(
         qm, uf, qm_log, vuf, vuq, vqd, ph_qf = front_fn(q)
 
         # ---- ONE merged exchange (inviscid + entropy traces) + surface --
-        flux, vup = inviscid_surface(
-            disc, gather, qm, uf, qm_log,
-            gamma=gamma, dissipation=inviscid_dissipation,
-            bc_inviscid=bc.inviscid if bc is not None else None,
-            extra_parts=(vuf,), t=t,
-        )
+        if use_fused_surface:
+            # fused post-exchange surface: the gather stays XLA (it is
+            # the cross-element data movement); BC ghosts, EC face
+            # flux + LF, entropy-variable BC and penalty rows run in
+            # one kernel (ops.pallas_cns_surface)
+            nbr = gather(jnp.concatenate([qm, qm_log, vuf], axis=0))
+            pool = surf_pool
+            if surf_evals:
+                pool = jnp.concatenate(
+                    [surf_pool] + [e(t) for e in surf_evals], axis=0)
+            flux, dv, pen = cns_surface_pallas(
+                qm, uf, qm_log, vuf, nbr, list(disc.nxj), disc.sj,
+                disc.inv_sj, pool, gamma=gamma, re=re, dim=dim,
+                dissipation=inviscid_dissipation,
+                with_penalty=viscous_dissipation, recipe=surf_recipe,
+                interpret=interpret,
+                **({} if block_k is None else {"block_k": block_k}),
+            )
+        else:
+            flux, vup = inviscid_surface(
+                disc, gather, qm, uf, qm_log,
+                gamma=gamma, dissipation=inviscid_dissipation,
+                bc_inviscid=bc.inviscid if bc is not None else None,
+                extra_parts=(vuf,), t=t,
+            )
 
-        # ---- viscous gradient at quadrature (composed) ----
-        if bc is not None:
-            vup = bc.entropy_vars(disc, vuf, vup, t)
-        dv = vup - vuf
+            # ---- viscous gradient BC traces ----
+            if bc is not None:
+                vup = bc.entropy_vars(disc, vuf, vup, t)
+            dv = vup - vuf
         if use_fused_viscous:
             # ONE Pallas kernel: front GEMM, gradients, K(v), stress
             # traces, divergence and the entropy-production partials
@@ -350,7 +395,8 @@ def make_cns_rhs_affine(
             # like the reference (cavity_optimized:840-846), the lifted
             # penalty is added AFTER the 1/J scaling of dg_div
             lift_in.append(
-                viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, re)
+                pen if use_fused_surface
+                else viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, re)
             )
 
         lifted = _apply(disc.lift, jnp.stack(lift_in))

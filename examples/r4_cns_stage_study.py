@@ -193,5 +193,101 @@ def main():
           f"(full - sum = {ms_full - total:+7.3f} ms unaccounted)")
 
 
+def cumulative():
+    """Cumulative-prefix timings of the SAME production pipeline: the
+    standalone stage table leaves ~38% of the full RHS unaccounted
+    (inter-stage glue: layout transitions between kernel outputs and
+    XLA consumers, BC row updates, reshapes).  Timing prefixes from q
+    attributes each increment INCLUDING its glue."""
+    n = int(os.environ.get("BENCH_N", 3))
+    k1d = int(os.environ.get("BENCH_K1D", 128))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    gamma = 1.4
+
+    disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
+    dof = 4 * disc.np_ * disc.num_elements
+    dim, nq, nfq = disc.dim, disc.nq, disc.nfq
+    nfields = dim + 2
+    print(f"N={n}, K={disc.num_elements}, DOF={dof/1e6:.2f}M "
+          f"(platform {jax.devices()[0].platform})")
+    floor = dispatch_floor(q0)
+    print(f"dispatch floor     : {floor:7.3f} ms/rep (subtracted below)")
+
+    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b,
+                                 precision=jax.lax.Precision.HIGHEST)
+    vqpq = mm(disc.vq, disc.pq)
+    vqlift = mm(disc.vq, disc.lift)
+    drpq = [mm(di, disc.pq) for di in disc.d]
+    vqdrpq = [mm(disc.vq, dp) for dp in drpq]
+    drpq_stack = jnp.stack(drpq)
+    front = jnp.concatenate([vqpq, *vqdrpq], axis=0)
+    inv_j = disc.inv_jac[:1]
+    nxj_stack = jnp.stack(list(disc.nxj))
+    adiab = adiabatic_mask(disc, bc)
+    interp = not on_tpu
+
+    from esdg_cns_tpu.ops.pallas_modal_volume import euler_modal_volume_pallas
+    from esdg_cns_tpu.ops.pallas_viscous import cns_viscous_pallas
+
+    def prefix(stage):
+        def f(q):
+            ph_qf, tr, vu_q = euler_modal_volume_pallas(
+                q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph,
+                gamma, nq=nq, interpret=interp)
+            qm = tr[:nfields]
+            uf = tr[nfields:2 * nfields]
+            qm_log = tr[2 * nfields:2 * nfields + 2]
+            vuf = tr[2 * nfields + 2:]
+            if stage == 1:
+                return ph_qf.sum() + tr.sum() + vu_q.sum()
+            flux, vup = inviscid_surface(
+                disc, disc.gather_traces, qm, uf, qm_log, gamma=gamma,
+                dissipation=True, bc_inviscid=bc.inviscid,
+                extra_parts=(vuf,))
+            vup = bc.entropy_vars(disc, vuf, vup, 0.0)
+            dv = vup - vuf
+            if stage == 2:
+                return flux.sum() + dv.sum() + ph_qf.sum() + vu_q.sum()
+            s_f_flat, div, prod, vuq = cns_viscous_pallas(
+                vu_q, dv, disc.geo, nxj_stack, inv_j, disc.wjq, front,
+                vqlift, disc.vhp[nq:], drpq_stack,
+                gamma=gamma, mu=p["mu"], lam=None, pr=p["pr"], nq=nq,
+                interpret=interp, proj=True)
+            if stage == 3:
+                return (s_f_flat.sum() + div.sum() + flux.sum()
+                        + ph_qf.sum())
+            s_all = s_f_flat.reshape(dim, nfields, nfq, -1)
+            s_f = [s_all[d] for d in range(dim)]
+            s_nbr = disc.gather_traces(s_all)
+            s_p = bc.stress(disc, s_f, [s_nbr[d] for d in range(dim)],
+                            vuf, 0.0)
+            if stage == 4:
+                return (sum(x.sum() for x in s_p) + div.sum()
+                        + flux.sum() + ph_qf.sum())
+            jump_n = sum(0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None]
+                         for x in range(dim))
+            pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv,
+                                       p["re"])
+            lifted = _apply(disc.lift, jnp.stack([flux, jump_n, pen]))
+            dq_i = -(ph_qf + lifted[0]) * inv_j[None]
+            dq_v = (div + lifted[1]) * inv_j[None] + lifted[2]
+            return (dq_i + dq_v).sum()
+        return f
+
+    labels = {1: "vol kernel", 2: "+ exch1 + inv surface + BC",
+              3: "+ viscous kernel", 4: "+ stress exch + BC",
+              5: "+ tail (full RHS)"}
+    prev = 0.0
+    for s in (1, 2, 3, 4, 5):
+        ms = timeit(prefix(s), q0) - floor
+        print(f"prefix {s} {labels[s]:28s}: {ms:7.3f} ms "
+              f"(+{ms - prev:6.3f})", flush=True)
+        prev = ms
+    print(f"full-RHS rate at prefix 5: {dof/(prev/1e3):.3e} DOF*stage/s")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STUDY", "stages") == "cum":
+        cumulative()
+    else:
+        main()

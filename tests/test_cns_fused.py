@@ -145,3 +145,58 @@ def test_affine_entropy_stability_cavity():
     _, aux = jax.jit(rhs)(q, 0.0)
     assert float(aux["rhstest_visc"]) >= 0.0
     assert float(aux["rhstest"]) < 1e-10
+
+
+@pytest.mark.parametrize("case", ["adiabatic", "isothermal", "slip",
+                                  "lid_profile", "dirichlet", "nobc",
+                                  "padded"])
+def test_fused_surface_matches_xla(case):
+    """surface_impl='fused' (ops.pallas_cns_surface: BC ghosts, EC face
+    flux + LF, entropy-variable BC, penalty rows in ONE kernel) == the
+    XLA surface section, to roundoff, across every BC shape: the three
+    wall kinds, an ARRAY lid profile (u_wall rows ride the kernel
+    pool), time-dependent Dirichlet ghosts (pre-evaluated outside the
+    kernel), no BC at all, and a lane-padded block split (block_k does
+    not divide K)."""
+    t = 0.0
+    block_k = None
+    if case == "dirichlet":
+        disc, q0, bc, shock = becker_shocktube_2d(
+            n=2, k1d=3, shock=BeckerShock(mu=0.1))
+        kw = dict(mu=shock.mu, pr=shock.pr)
+        t = 0.037
+    elif case == "nobc":
+        disc, q0, _, shock = becker_shocktube_2d(
+            n=2, k1d=3, shock=BeckerShock(mu=0.1))
+        bc = None
+        kw = dict(mu=shock.mu, pr=shock.pr)
+    elif case == "lid_profile":
+        from esdg_cns_tpu.verification import regularized_lid
+
+        disc, q0, bc, p = lid_driven_cavity(n=2, k1d=3,
+                                            bctype="isothermal",
+                                            lid_profile=regularized_lid)
+        kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"])
+    else:
+        disc, q0, bc, p = lid_driven_cavity(
+            n=2, k1d=3, bctype="adiabatic" if case == "padded" else case)
+        kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"])
+        if case == "padded":
+            block_k = 16   # K = 18: forces the lane-padding path
+    rng = np.random.default_rng(3)
+    q = q0 * (1.0 + 0.01 * jnp.asarray(rng.standard_normal(q0.shape)))
+    flags = dict(bc=bc, inviscid_dissipation=True,
+                 viscous_dissipation=True, **kw)
+    out = {}
+    for simpl in ("xla", "fused"):
+        rhs = make_cns_rhs_affine(
+            disc, volume_impl="fused", viscous_impl="fused",
+            surface_impl=simpl, interpret=True,
+            **({} if block_k is None else {"block_k": block_k}), **flags)
+        dq, aux = jax.jit(rhs, static_argnums=())(q, t)
+        out[simpl] = (np.asarray(dq), float(aux["rhstest_visc"]))
+    d = np.abs(out["fused"][0] - out["xla"][0]).max()
+    scale = np.abs(out["xla"][0]).max()
+    assert d < 1e-11 * scale, (case, d, scale)
+    assert abs(out["fused"][1] - out["xla"][1]) < 1e-9 * max(
+        abs(out["xla"][1]), 1.0)
