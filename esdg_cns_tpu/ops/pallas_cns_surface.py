@@ -188,7 +188,7 @@ def _surface_kernel(qm_ref, uf_ref, logm_ref, vuf_ref, nbr_ref, nxj_ref,
     if dissipation:
         def lam(u):
             rhoun = sum(u[1 + d] * nxj[d] for d in range(dim))
-            return phys.wavespeed(u[0], rhoun * inv_sj, u[-1], gamma)
+            return phys.wavespeed(u[0], rhoun * inv_sj, u[nf - 1], gamma)
 
         lfc = 0.25 * jnp.maximum(lam(uf), lam(up)) * sj
         flux = flux - lfc[None] * (up - uf)

@@ -77,8 +77,12 @@ def logmean(a_l, a_r, log_l=None, log_r=None):
 # -----------------------------------------------------------------------------
 
 def _split(u):
-    """U[f,...] -> (rho, mom[d,...], E)."""
-    return u[0], u[1:-1], u[-1]
+    """U[f,...] -> (rho, mom[d,...], E).
+
+    Positive last index: a scalar negative index lowers to
+    dynamic_slice, which Mosaic (Pallas TPU) cannot lower — this
+    helper runs inside the fused surface kernel."""
+    return u[0], u[1:-1], u[u.shape[0] - 1]
 
 
 def pfun(u, gamma=GAMMA):
@@ -246,12 +250,14 @@ def ec_flux(q_l, q_r, qlog_l=None, qlog_r=None, gamma=GAMMA):
     nf = q_l.shape[0]
     ql_fields = tuple(q_l[i] for i in range(nf))
     qr_fields = tuple(q_r[i] for i in range(nf))
+    # positive beta index: negative scalar indexing lowers to
+    # dynamic_slice, unsupported inside Pallas TPU kernels
     logs_l = (
-        (jnp.log(q_l[0]), jnp.log(q_l[-1])) if qlog_l is None
+        (jnp.log(q_l[0]), jnp.log(q_l[nf - 1])) if qlog_l is None
         else (qlog_l[0], qlog_l[1])
     )
     logs_r = (
-        (jnp.log(q_r[0]), jnp.log(q_r[-1])) if qlog_r is None
+        (jnp.log(q_r[0]), jnp.log(q_r[nf - 1])) if qlog_r is None
         else (qlog_r[0], qlog_r[1])
     )
     fluxes = ec_flux_fields(ql_fields, qr_fields, logs_l, logs_r, gamma)

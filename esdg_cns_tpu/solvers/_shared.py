@@ -79,7 +79,7 @@ def adiabatic_mask(disc, bc):
 def flux_to_conservative(q, gamma):
     """(rho, u_1..d, beta) flux-variable rows -> conservative rows
     (rho, m_1..d, E) with p = rho / (2 beta), dimension-generic."""
-    rho, beta = q[0], q[-1]
+    rho, beta = q[0], q[q.shape[0] - 1]  # positive index: Pallas-safe
     vel = [q[1 + d] for d in range(q.shape[0] - 2)]
     e = rho / (2.0 * beta * (gamma - 1.0)) + 0.5 * rho * sum(
         v * v for v in vel
@@ -143,12 +143,12 @@ def viscous_penalty_rows(disc, bc, adiab_mask, vuf, vup, dv, re):
     reference dg2D_CNS_cavity_optimized.jl:817-840, with the special
     adiabatic-wall energy row via bc.penalty_energy_rows)."""
     dim = disc.dim
-    tau = -1.0 / (re * vuf[-1])
+    tau = -1.0 / (re * vuf[dim + 1])  # positive index: Pallas-safe
     rows = [jnp.zeros_like(dv[0])]
     for d in range(dim):
         rows.append(tau * dv[1 + d])
     if bc is not None and adiab_mask is not None:
         rows.append(bc.penalty_energy_rows(vuf, vup, dv, tau, adiab_mask))
     else:
-        rows.append(tau * dv[-1])
+        rows.append(tau * dv[dim + 1])
     return jnp.stack(rows)

@@ -114,9 +114,12 @@ class WallBC:
             # start from the interior trace, then mirror
             vel_in = [jnp.where(m, qm[1 + d], v) for d, v in enumerate(vel)]
             vel_out = self._mirror_normal(vel_in, m)
+            # positive beta index: these hooks also run inside the fused
+            # surface Pallas kernel, where scalar negative indexing
+            # lowers to dynamic_slice (unsupported by Mosaic)
             rows = [jnp.where(m, qm[0], qp[0])]
             rows += vel_out
-            rows += [jnp.where(m, qm[-1], qp[-1])]
+            rows += [jnp.where(m, qm[dim + 1], qp[dim + 1])]
             qp = jnp.stack(rows)
         return qp, up
 
@@ -132,7 +135,8 @@ class WallBC:
             if r.kind == "slip":
                 vmom = [jnp.where(m, vuf[1 + d], vup[1 + d]) for d in range(dim)]
                 vmom = self._mirror_normal(vmom, m)
-                rows = [vup[0]] + vmom + [jnp.where(m, vuf[-1], vup[-1])]
+                rows = [vup[0]] + vmom + [
+                    jnp.where(m, vuf[dim + 1], vup[dim + 1])]
                 vup = jnp.stack(rows)
                 continue
             if r.kind == "adiabatic":
@@ -140,11 +144,11 @@ class WallBC:
                 # at the interface average; v4+ = v4- (zero heat flux)
                 rows = [vup[0]]
                 for d in range(dim):
-                    target = r.u_wall[d] * (-vuf[-1])
+                    target = r.u_wall[d] * (-vuf[dim + 1])
                     rows.append(
                         jnp.where(m, 2.0 * target - vuf[1 + d], vup[1 + d])
                     )
-                rows.append(jnp.where(m, vuf[-1], vup[-1]))
+                rows.append(jnp.where(m, vuf[dim + 1], vup[dim + 1]))
                 vup = jnp.stack(rows)
                 continue
             if r.kind == "isothermal":
@@ -157,7 +161,8 @@ class WallBC:
                             m, 2.0 * r.u_wall[d] / th - vuf[1 + d], vup[1 + d]
                         )
                     )
-                rows.append(jnp.where(m, -2.0 / th - vuf[-1], vup[-1]))
+                rows.append(
+                    jnp.where(m, -2.0 / th - vuf[dim + 1], vup[dim + 1]))
                 vup = jnp.stack(rows)
                 continue
             raise ValueError(f"unknown wall kind {r.kind!r}")
@@ -192,7 +197,8 @@ class WallBC:
                     work = sum(
                         2.0 * r.u_wall[d] * sf[1 + d] for d in range(dim)
                     )
-                    rows.append(jnp.where(m, -sf[-1] + work, sp[-1]))
+                    rows.append(
+                        jnp.where(m, -sf[dim + 1] + work, sp[dim + 1]))
                     sp = jnp.stack(rows)
                     continue
                 if r.kind == "slip":
@@ -206,7 +212,7 @@ class WallBC:
                                 m, -smom[d] + 2.0 * self.nhat[d] * sn, sp[1 + d]
                             )
                         )
-                    rows.append(jnp.where(m, -sf[-1], sp[-1]))
+                    rows.append(jnp.where(m, -sf[dim + 1], sp[dim + 1]))
                     sp = jnp.stack(rows)
                     continue
             new_sp.append(sp)
@@ -217,10 +223,11 @@ class WallBC:
         (dg2D_CNS_cavity_optimized.jl:827-837)."""
         avg2 = 0.5 * (vup + vuf)
         bmask = self.bmask
+        last = self.dim + 1
         base = sum(avg2[1 + d] * dv[1 + d] for d in range(self.dim))
-        full = base + 0.5 * dv[-1] * dv[-1]
+        full = base + 0.5 * dv[last] * dv[last]
         num = jnp.where(adiabatic_mask, base, full)
-        return jnp.where(bmask, -tau * num / vuf[-1], tau * dv[-1])
+        return jnp.where(bmask, -tau * num / vuf[last], tau * dv[last])
 
 
 def make_wall_bc(disc: Discretization, regions: Sequence[Region]) -> WallBC:
