@@ -155,7 +155,9 @@ class _DiscShim:
 def _surface_kernel(qm_ref, uf_ref, logm_ref, vuf_ref, nbr_ref, nxj_ref,
                     sj2_ref, pool_ref, flux_ref, dv_ref, pen_ref, *,
                     dim, gamma, re, dissipation, with_penalty, recipe):
-    from ..solvers._shared import flux_to_conservative, viscous_penalty_rows
+    from ..solvers._shared import (entropy_vars_from_flux,
+                                   flux_to_conservative,
+                                   viscous_penalty_rows)
 
     nf = dim + 2
     qm = qm_ref[...]
@@ -170,7 +172,9 @@ def _surface_kernel(qm_ref, uf_ref, logm_ref, vuf_ref, nbr_ref, nxj_ref,
 
     qp = nbr[:nf]
     qp_log = nbr[nf:nf + 2]
-    vup = nbr[nf + 2:]
+    # comm-avoiding: the exchange carries qm + logs only; rebuild the
+    # neighbor entropy traces pointwise (no transcendentals)
+    vup = entropy_vars_from_flux(qp, qp_log, gamma)
 
     bc = adiab = None
     if recipe is not None:
@@ -226,8 +230,10 @@ def cns_surface_pallas(qm, uf, qm_log, vuf, nbr, nxj, sj, inv_sj, pool,
 
     Args:
       qm/uf/vuf: [Nf, Nfq, K] local traces (flux vars, conservative,
-        entropy vars); qm_log [2, Nfq, K]; nbr [2 Nf + 2, Nfq, K] the
-        gathered (qp | qp_log | vup) payload; nxj dim x [Nfq, K];
+        entropy vars); qm_log [2, Nfq, K]; nbr [Nf + 2, Nfq, K] the
+        gathered (qp | qp_log) payload (the neighbor entropy traces
+        are REBUILT in-kernel, _shared.entropy_vars_from_flux);
+        nxj dim x [Nfq, K];
         sj / inv_sj [Nfq, K]; pool [L, Nfq, K] from prepare_surface_bc
         (or None), with any Dirichlet evaluations concatenated after
         the static rows; recipe: the matching static description.
@@ -254,7 +260,7 @@ def cns_surface_pallas(qm, uf, qm_log, vuf, nbr, nxj, sj, inv_sj, pool,
         uf = pad_k(uf, quies_u)
         qm_log = pad_k(qm_log, 0.0)
         vuf = pad_k(vuf, quies_v)
-        nbr = pad_k(nbr, quies_q + [0.0, 0.0] + quies_v)
+        nbr = pad_k(nbr, quies_q + [0.0, 0.0])
         nxj = [jnp.pad(n, ((0, 0), (0, pad))) for n in nxj]
         sj = jnp.pad(sj, ((0, 0), (0, pad)), constant_values=1.0)
         inv_sj = jnp.pad(inv_sj, ((0, 0), (0, pad)), constant_values=1.0)
@@ -284,7 +290,7 @@ def cns_surface_pallas(qm, uf, qm_log, vuf, nbr, nxj, sj, inv_sj, pool,
             blk(nf, nfq, kb),
             blk(2, nfq, kb),
             blk(nf, nfq, kb),
-            blk(2 * nf + 2, nfq, kb),
+            blk(nf + 2, nfq, kb),
             blk(dim, nfq, kb),
             blk(2, nfq, kb),
             blk(pool.shape[0], nfq, kb),

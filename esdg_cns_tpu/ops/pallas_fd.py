@@ -99,6 +99,154 @@ def triangular_fd(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved):
     return acc
 
 
+def _quant8(rows, hi):
+    """Smallest multiple of 8 >= rows, clamped to hi."""
+    return min(hi, -(-rows // 8) * 8)
+
+
+def full_fd(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved):
+    """Full-skew flux differencing: tile-aligned alternative to
+    triangular_fd (same contract).
+
+    Every ordered pair of the nonzero operator blocks is evaluated:
+    acc_i = sum_j A_ij F_ij with the FULL skew matrix, so the row-j
+    bookkeeping (negated column sums + end concatenate) of the
+    triangular variant disappears — A_ji = -A_ij is realized by the j
+    loop itself.  This costs ~1.7x the two-point-flux arithmetic but
+    every VPU op runs on whole 8-sublane tiles: rows = nh for volume
+    partners, the 8-quantized volume block for face partners (the
+    quantized rows beyond nq meet the zero face-face block, reference
+    dg2D_CNS_modalESDG.jl:246, so they contribute exactly zero).  The
+    triangular variant's [min(j, nq), KB] slices straddle sublane
+    tiles with a different phase per j (the N=4 hex cliff failure
+    mode, ops/pallas_volume._fd_pad8).
+    """
+    nf = len(qh)
+    kb = qh[0].shape[1]
+    dtype = qh[0].dtype
+    rows_vol = _quant8(nq, nh)
+    acc = [jnp.zeros((nh, kb), dtype) for _ in range(nf)]
+    acc_vol = [jnp.zeros((rows_vol, kb), dtype) for _ in range(nf)]
+
+    for j in range(nh):
+        rows = nh if j < nq else rows_vol
+        qi = qh if rows == nh else tuple(x[:rows] for x in qh)
+        li = ((qlog[0], qlog[1]) if rows == nh
+              else (qlog[0][:rows], qlog[1][:rows]))
+        qj = tuple(x[j:j + 1] for x in qh)
+        lj = (qlog[0][j:j + 1], qlog[1][j:j + 1])
+        fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+        a_cols = [qs[r][:rows, j:j + 1] for r in range(dim)]
+        b = []
+        for xdir in range(dim):
+            t = None
+            for rdir in range(dim):
+                g = geo[rdir * dim + xdir]
+                if curved:
+                    g = 0.5 * (g[:rows] + g[j:j + 1])
+                elif g.shape[0] != 1:
+                    g = g[:rows]
+                term = a_cols[rdir] * g
+                t = term if t is None else t + term
+            b.append(t)
+        tgt = acc if rows == nh else acc_vol
+        for f in range(nf):
+            w = None
+            for xdir in range(dim):
+                term = b[xdir] * fluxes[xdir][f]
+                w = term if w is None else w + term
+            tgt[f] = tgt[f] + w
+
+    if rows_vol < nh:
+        pad = jnp.zeros((nh - rows_vol, kb), dtype)
+        return [a + jnp.concatenate([v, pad], axis=0)
+                for a, v in zip(acc, acc_vol)]
+    return [a + v for a, v in zip(acc, acc_vol)]
+
+
+def triangular_fd8(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved):
+    """triangular_fd with every row extent quantized up to a full
+    8-sublane tile (same contract).
+
+    Keeps the halved pair count of the triangular variant but pads
+    each partner slice [min(j, nq), KB] to the next multiple of 8:
+    for volume partners the operator column is masked to zero beyond
+    row j (those pairs belong to later iterations), for face partners
+    the quantized extra rows meet the zero face-face block.  Per-
+    extent accumulators avoid the per-iteration full-height
+    concatenate of the plain triangular variant.
+    """
+    nf = len(qh)
+    kb = qh[0].shape[1]
+    dtype = qh[0].dtype
+    rows_vol = _quant8(nq, nh)
+    accs = {}                     # quantized extent -> per-field acc
+    jrows = [[] for _ in range(nf)]
+
+    for j in range(1, nh):
+        rows = min(j, nq)
+        rq = _quant8(rows, rows_vol)
+        qi = tuple(x[:rq] for x in qh)
+        li = (qlog[0][:rq], qlog[1][:rq])
+        qj = tuple(x[j:j + 1] for x in qh)
+        lj = (qlog[0][j:j + 1], qlog[1][j:j + 1])
+        fluxes = ec_flux_fields(qi, qj, li, lj, gamma)
+        if rows < rq and j < nq:
+            # quantized rows i in [j, rq) pair with a NONZERO operator
+            # entry and belong to later iterations: mask the column
+            mask = jax.lax.broadcasted_iota(
+                jnp.int32, (rq, 1), 0) < rows
+            a_cols = [jnp.where(mask, qs[r][:rq, j:j + 1], 0.0)
+                      for r in range(dim)]
+        else:
+            # face partner: rows i in [nq, rq) meet the zero
+            # face-face block, no masking needed
+            a_cols = [qs[r][:rq, j:j + 1] for r in range(dim)]
+        b = []
+        for xdir in range(dim):
+            t = None
+            for rdir in range(dim):
+                g = geo[rdir * dim + xdir]
+                if curved:
+                    g = 0.5 * (g[:rq] + g[j:j + 1])
+                elif g.shape[0] != 1:
+                    g = g[:rq]
+                term = a_cols[rdir] * g
+                t = term if t is None else t + term
+            b.append(t)
+        acc = accs.setdefault(
+            rq, [jnp.zeros((rq, kb), dtype) for _ in range(nf)])
+        for f in range(nf):
+            w = None
+            for xdir in range(dim):
+                term = b[xdir] * fluxes[xdir][f]
+                w = term if w is None else w + term
+            acc[f] = acc[f] + w
+            jrows[f].append(-jnp.sum(w, axis=0, keepdims=True))
+
+    zrow = jnp.zeros((1, kb), dtype)
+    out = []
+    for f in range(nf):
+        a = None
+        for rq, acc in sorted(accs.items()):
+            t = acc[f] if rq == nh else jnp.concatenate(
+                [acc[f], jnp.zeros((nh - rq, kb), dtype)], axis=0)
+            a = t if a is None else a + t
+        out.append(a + jnp.concatenate([zrow] + jrows[f], axis=0))
+    return out
+
+
+_FD_BODIES = {"tri": triangular_fd, "tri8": triangular_fd8,
+              "full": full_fd}
+
+
+def fd_body(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved,
+            mode="tri"):
+    """Dispatch between the (algebraically identical) fd variants."""
+    return _FD_BODIES[mode](qh, qlog, qs, geo, dim=dim, nq=nq, nh=nh,
+                            gamma=gamma, curved=curved)
+
+
 def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
                nq, gamma, curved):
     qh = qh_ref[...]          # [Nf, Nh, KB]

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fd import triangular_fd
+from .pallas_fd import fd_body
 from .pallas_volume import _VMEM_LIMIT
 
 
@@ -43,7 +43,7 @@ def _dot(a, x):
 
 def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
                          out_ref, traces_ref, vuq_ref, *, dim, nq, nh,
-                         gamma, curved):
+                         gamma, curved, fd_mode):
     nf = dim + 2
     gm1 = gamma - 1.0
 
@@ -99,8 +99,8 @@ def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
 
     # ---- 5: triangular flux differencing (pair work halved,
     # face-face block skipped; ops.pallas_fd.triangular_fd) ----
-    acc = triangular_fd(tuple(qh), tuple(qlog), qs, geo,
-                        dim=dim, nq=nq, nh=nh, gamma=gamma, curved=curved)
+    acc = fd_body(tuple(qh), tuple(qlog), qs, geo, dim=dim, nq=nq,
+                  nh=nh, gamma=gamma, curved=curved, mode=fd_mode)
 
     # ---- 6: Ph QF ----
     for f in range(nf):
@@ -108,10 +108,12 @@ def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gamma", "nq", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("gamma", "nq", "block_k", "interpret", "fd_mode"),
 )
 def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
-                              block_k: int = 1024, interpret: bool = False):
+                              block_k: int = 1024, interpret: bool = False,
+                              fd_mode: str = "tri"):
     """Fused modal volume stage.
 
     Args:
@@ -147,7 +149,7 @@ def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
 
     kernel = functools.partial(
         _modal_volume_kernel, dim=dim, nq=nq, nh=nh, gamma=gamma,
-        curved=curved,
+        curved=curved, fd_mode=fd_mode,
     )
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)

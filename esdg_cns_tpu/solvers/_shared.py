@@ -89,8 +89,40 @@ def flux_to_conservative(q, gamma):
     )
 
 
+_LOG2 = 0.6931471805599453
+
+
+def entropy_vars_from_flux(qp, qp_log, gamma):
+    """Entropy variables v(U) rebuilt from flux-variable traces
+    (rho, u_1..d, beta) and their precomputed logs — comm-avoiding:
+    the CNS exchanges no longer carry the projected entropy traces
+    (4-of-10 payload rows in 2D); both face sides rebuild v from the
+    same exchanged payload with ~13 cheap VPU ops and NO
+    transcendentals (log p = log rho - log beta - log 2):
+
+      s   = -(gamma-1) log rho - log beta - log 2
+      v1  = gamma - s - (gamma-1) beta |u|^2
+      v_d = 2 (gamma-1) beta u_d
+      ve  = -2 (gamma-1) beta
+
+    v(U(v)) = v exactly (inverse maps), so the rebuilt value matches
+    the projected trace the neighbor would have sent up to an
+    ulp-level round-trip error — the same accepted tradeoff as the
+    conservative recompute in inviscid_surface (docs/design.md).
+    Pallas-safe (positive indices only)."""
+    dim = qp.shape[0] - 2
+    gm1 = gamma - 1.0
+    beta = qp[dim + 1]
+    vel = [qp[1 + d] for d in range(dim)]
+    s = -gm1 * qp_log[0] - qp_log[1] - _LOG2
+    tb = (2.0 * gm1) * beta
+    v1 = (gamma - s) - (0.5 * tb) * sum(v * v for v in vel)
+    return jnp.stack([v1] + [tb * v for v in vel] + [-tb])
+
+
 def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
-                     bc_inviscid=None, extra_parts=(), t=0.0):
+                     bc_inviscid=None, extra_parts=(),
+                     entropy_extras=False, t=0.0):
     """Merged neighbor exchange + EC surface flux + LF dissipation.
 
     One batched exchange carries the flux-variable traces qm, the
@@ -117,6 +149,10 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
     nbr = gather(jnp.concatenate(parts, axis=0))
     qp = nbr[:nf]
     qp_log = nbr[nf:nf + 2]
+    # pre-BC neighbor entropy variables (BC hooks are applied to the
+    # rebuilt traces by the caller, exactly as for exchanged ones)
+    extras = (entropy_vars_from_flux(qp, qp_log, gamma)
+              if entropy_extras else None)
     up = flux_to_conservative(qp, gamma) if (dissipation
                                              or bc_inviscid is not None) \
         else None
@@ -135,7 +171,7 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
 
         lfc = 0.25 * jnp.maximum(lam(uf), lam(up)) * disc.sj
         flux = flux - lfc[None] * (up - uf)
-    return flux, nbr[n_inv:]
+    return flux, (extras if entropy_extras else nbr[n_inv:])
 
 
 def viscous_penalty_rows(disc, bc, adiab_mask, vuf, vup, dv, re):

@@ -166,7 +166,7 @@ def make_cns_rhs(
             disc, gather, qh[:, nq:, :], uh[:, nq:, :], qlog[:, nq:, :],
             gamma=gamma, dissipation=inviscid_dissipation,
             bc_inviscid=bc.inviscid if bc is not None else None,
-            extra_parts=(vuf,), t=t,
+            entropy_extras=True, t=t,
         )
         rhs_surf = _apply(disc.lift, flux)
 

@@ -309,7 +309,9 @@ def make_cns_rhs_affine(
             # the cross-element data movement); BC ghosts, EC face
             # flux + LF, entropy-variable BC and penalty rows run in
             # one kernel (ops.pallas_cns_surface)
-            nbr = gather(jnp.concatenate([qm, qm_log, vuf], axis=0))
+            # comm-avoiding payload: qm + logs only; the kernel rebuilds
+            # the neighbor entropy traces (_shared.entropy_vars_from_flux)
+            nbr = gather(jnp.concatenate([qm, qm_log], axis=0))
             pool = surf_pool
             if surf_evals:
                 pool = jnp.concatenate(
@@ -327,7 +329,7 @@ def make_cns_rhs_affine(
                 disc, gather, qm, uf, qm_log,
                 gamma=gamma, dissipation=inviscid_dissipation,
                 bc_inviscid=bc.inviscid if bc is not None else None,
-                extra_parts=(vuf,), t=t,
+                entropy_extras=True, t=t,
             )
 
             # ---- viscous gradient BC traces ----
