@@ -47,7 +47,7 @@ def _dot(a, x):
 
 def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
                     front_ref, vqlift_ref, ef_ref, drpq_ref,
-                    *rest, dim, nq, gamma, mu, lam, pr, proj):
+                    *rest, dim, nq, gamma, mu, lam, pr, proj, contract):
     nf = dim + 2
     if proj:
         sf_ref, div_ref, prod_ref, vuq_ref = rest
@@ -100,10 +100,23 @@ def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
     # on python lists, pointwise math only) ----
     sigma = viscous_flux_nd(vuq, grads, mu, lam, pr, gamma)
 
-    # ---- 5: stress traces for exchange #2 ----
-    for x in range(dim):
+    # ---- 5: stress traces for exchange #2.  contract=True (the
+    # production CNS paths): emit the NORMAL-CONTRACTED traction
+    # t_f = sum_x (Ef sigma_x) nxj_x — only the contraction ever
+    # reaches the jump term, and conforming faces carry negated
+    # normals, so the exchange payload shrinks from dim*Nf to Nf rows
+    # (comm-avoiding; the neighbor's contraction arrives negated). ----
+    if contract:
         for f in range(nf):
-            sf_ref[x * nf + f] = _dot(ef, sigma[x][f])
+            acc = None
+            for x in range(dim):
+                term = _dot(ef, sigma[x][f]) * nxj[x]
+                acc = term if acc is None else acc + term
+            sf_ref[f] = acc
+    else:
+        for x in range(dim):
+            for f in range(nf):
+                sf_ref[x * nf + f] = _dot(ef, sigma[x][f])
 
     # ---- 6: divergence sum_r (Dr Pq) (sum_x geo[r,x] sigma_x) ----
     for f in range(nf):
@@ -131,12 +144,12 @@ def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "mu", "lam", "pr", "nq", "block_k",
-                     "interpret", "proj"),
+                     "interpret", "proj", "contract"),
 )
 def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
                        drpq, *, gamma, mu, lam, pr, nq,
                        block_k: int = 1024, interpret: bool = False,
-                       proj: bool = True):
+                       proj: bool = True, contract: bool = False):
     """Fused viscous mid-section (affine meshes).
 
     Args:
@@ -152,9 +165,12 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
         gradient rows only and the returned vuq IS the input vu_q (no
         identity MXU pass, no extra output stream).
 
-    Returns (s_f [dim*Nf, Nfq, K] stress traces, div [Nf, Np, K]
-    viscous divergence, prod [1, K] per-element entropy-production
-    partials, vuq [Nf, Nq, K] projected entropy variables).
+    Returns (s_f, div [Nf, Np, K] viscous divergence, prod [1, K]
+    per-element entropy-production partials, vuq [Nf, Nq, K]
+    projected entropy variables), where s_f is the [dim*Nf, Nfq, K]
+    component stress traces (contract=False) or the [Nf, Nfq, K]
+    normal-contracted traction t_f = sum_x (Ef sigma_x) nxj_x
+    (contract=True — the comm-avoiding exchange form).
     """
     nf, _, k = vu_q.shape
     dim = nf - 2
@@ -183,7 +199,7 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
 
     kernel = functools.partial(
         _viscous_kernel, dim=dim, nq=nq, gamma=gamma, mu=mu, lam=lam,
-        pr=pr, proj=proj,
+        pr=pr, proj=proj, contract=contract,
     )
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -191,13 +207,14 @@ def cns_viscous_pallas(vu_q, dv, geo, nxj, inv_j, wjq, front, vqlift, ef,
         shape, lambda i: (0,) * (len(shape) - 1) + (i,),
         memory_space=pltpu.VMEM,
     )
+    sf_rows = nf if contract else dim * nf
     out_specs = [
-        blk(dim * nf, nfq, kb),
+        blk(sf_rows, nfq, kb),
         blk(nf, np_, kb),
         blk(1, kb),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((dim * nf, nfq, kp), vu_q.dtype),
+        jax.ShapeDtypeStruct((sf_rows, nfq, kp), vu_q.dtype),
         jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype),
         jax.ShapeDtypeStruct((1, kp), vu_q.dtype),
     ]

@@ -218,6 +218,61 @@ class WallBC:
             new_sp.append(sp)
         return tuple(new_sp)
 
+    def stress_normal(self, disc, t_f, t_ex, t=0.0):
+        """Normal-contracted ghost traction sum_x s_p[x] nxj_m[x]
+        from the LOCAL contraction t_f = sum_x s_f[x] nxj_m[x] and
+        the EXCHANGED neighbor contraction t_ex = sum_x s_p[x]
+        nxj_p[x] (comm-avoiding: only the contraction crosses the
+        exchange; conforming faces carry negated normals, so interior
+        faces read -t_ex).  Every wall kind of `stress` commutes with
+        the contraction — each is a linear map on the stress
+        components with coefficients constant across directions — so
+        the ghost rules below are the contracted images of the
+        component rules (reference impose_BCs_stress!,
+        dg2D_CNS_cavity_optimized.jl:219-260):
+
+          dirichlet/isothermal: natural, t_pn = t_f;
+          adiabatic: momentum rows pass, energy reflects with
+            2 u_wall . traction added;
+          slip: traction mirrors about nhat, energy reflects.
+        """
+        dim = self.dim
+        t_pn = -t_ex
+        for r in self.regions:
+            m = r.mask
+            if r.kind == "dirichlet" and r.stress_state is not None:
+                st = r.stress_state(t)
+                contr = sum(st[x] * disc.nxj[x][None] for x in range(dim))
+                t_pn = jnp.where(m[None], contr, t_pn)
+                continue
+            if r.kind in ("dirichlet", "isothermal"):
+                t_pn = jnp.where(m[None], t_f, t_pn)
+                continue
+            if r.kind == "adiabatic":
+                rows = [jnp.where(m, t_f[0], t_pn[0])]
+                for d in range(dim):
+                    rows.append(jnp.where(m, t_f[1 + d], t_pn[1 + d]))
+                work = sum(2.0 * r.u_wall[d] * t_f[1 + d]
+                           for d in range(dim))
+                rows.append(
+                    jnp.where(m, -t_f[dim + 1] + work, t_pn[dim + 1]))
+                t_pn = jnp.stack(rows)
+                continue
+            if r.kind == "slip":
+                tmom = [jnp.where(m, t_f[1 + d], t_pn[1 + d])
+                        for d in range(dim)]
+                tn = sum(tmom[d] * self.nhat[d] for d in range(dim))
+                rows = [jnp.where(m, t_f[0], t_pn[0])]
+                for d in range(dim):
+                    rows.append(jnp.where(
+                        m, -tmom[d] + 2.0 * self.nhat[d] * tn,
+                        t_pn[1 + d]))
+                rows.append(jnp.where(m, -t_f[dim + 1], t_pn[dim + 1]))
+                t_pn = jnp.stack(rows)
+                continue
+            raise ValueError(f"unknown wall kind {r.kind!r}")
+        return t_pn
+
     def penalty_energy_rows(self, vuf, vup, dv, tau, adiabatic_mask):
         """Boundary override of the viscous-penalty energy row
         (dg2D_CNS_cavity_optimized.jl:827-837)."""

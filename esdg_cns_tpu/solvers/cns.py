@@ -29,7 +29,7 @@ from ..core.discretization import Discretization
 from ..physics import euler as phys
 from ..physics.viscous import viscous_flux_nd
 from .boundary import WallBC
-from .dg_ops import _apply, dg_grad, dg_div
+from .dg_ops import _apply, dg_grad, dg_div_contracted
 
 
 def make_viscous_rhs(
@@ -79,13 +79,16 @@ def make_viscous_rhs(
 
             rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
 
+        # contracted stress exchange (comm-avoiding: only the normal
+        # traction crosses; conforming faces carry negated normals)
         sigma_m = [_apply(disc.pq, s) for s in sigma]
         s_f = [_apply(disc.vf, s) for s in sigma_m]
-        s_p = [gather(s) for s in s_f]
-        if bc is not None:
-            s_p = bc.stress(disc, s_f, s_p, vuf, t)
+        t_f = sum(s_f[x] * disc.nxj[x][None] for x in range(dim))
+        t_ex = gather(t_f)
+        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
+                else -t_ex)
 
-        dq = dg_div(disc, sigma_m, s_f, s_p)
+        dq = dg_div_contracted(disc, sigma_m, 0.5 * (t_pn - t_f))
 
         if dissipation:
             # interface penalty tau = -1/(Re v4) (cavity_optimized:817-840)
@@ -191,15 +194,15 @@ def make_cns_rhs(
         if psum_axis is not None:
             rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
 
-        # ---- ONE batched stress exchange ----
+        # ---- ONE batched CONTRACTED stress exchange (Nf rows) ----
         sigma_m = [_apply(disc.pq, s) for s in sigma]
         s_f = [_apply(disc.vf, s) for s in sigma_m]
-        s_nbr = gather(jnp.stack(s_f))
-        s_p = [s_nbr[d] for d in range(dim)]
-        if bc is not None:
-            s_p = bc.stress(disc, s_f, s_p, vuf, t)
+        t_f = sum(s_f[x] * disc.nxj[x][None] for x in range(dim))
+        t_ex = gather(t_f)
+        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
+                else -t_ex)
 
-        dq_v = dg_div(disc, sigma_m, s_f, s_p)
+        dq_v = dg_div_contracted(disc, sigma_m, 0.5 * (t_pn - t_f))
 
         if viscous_dissipation:
             pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup,

@@ -347,15 +347,14 @@ def make_cns_rhs_affine(
             # round 3 — so the tail below stays XLA.)
             from ..ops.pallas_viscous import cns_viscous_pallas
 
-            s_f_flat, div, prod, vuq = cns_viscous_pallas(
+            t_f, div, prod, vuq = cns_viscous_pallas(
                 vuq, dv, geo, nxj_stack, inv_j, disc.wjq, front_visc,
                 vqlift, disc.vhp[nq:], drpq_stack,
                 gamma=gamma, mu=mu, lam=lam, pr=pr, nq=nq,
-                interpret=interpret, proj=visc_proj,
+                interpret=interpret, proj=visc_proj, contract=True,
                 **({} if block_k is None else {"block_k": block_k}),
             )
             rhstest_visc = jnp.sum(prod)
-            s_f_all = s_f_flat.reshape(dim, nfields, dv.shape[1], -1)
         else:
             half_jumps = jnp.stack(
                 [0.5 * dv * disc.nxj[x][None] for x in range(dim)]
@@ -376,15 +375,20 @@ def make_cns_rhs_affine(
         if psum_axis is not None:
             rhstest_visc = jax.lax.psum(rhstest_visc, psum_axis)
 
-        # ---- ONE batched stress exchange; traces via (Vf Pq) ----
+        # ---- ONE batched CONTRACTED stress exchange (Nf rows).  Only
+        # the normal contraction t = sum_x s_x nxj_x ever reaches the
+        # jump term, and conforming faces carry negated normals, so
+        # exchanging t instead of the dim*Nf component traces both
+        # shrinks the payload and drops the post-gather contraction
+        # (comm-avoiding; the reference exchanges all components,
+        # dg2D_CNS_cavity_optimized.jl:780-816). ----
         if not use_fused_viscous:
             ef = disc.vhp[nq:]
             s_f_all = _apply(ef, jnp.stack(sigma))   # [dim, Nf, Nfq, K]
-        s_f = [s_f_all[d] for d in range(dim)]
-        s_nbr = gather(s_f_all)
-        s_p = [s_nbr[d] for d in range(dim)]
-        if bc is not None:
-            s_p = bc.stress(disc, s_f, s_p, vuf, t)
+            t_f = sum(s_f_all[x] * disc.nxj[x][None] for x in range(dim))
+        t_ex = gather(t_f)
+        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
+                else -t_ex)
 
         # ---- viscous divergence (composed) + both LIFTs in one GEMM ----
         if not use_fused_viscous:
@@ -395,9 +399,7 @@ def make_cns_rhs_affine(
             div = jnp.einsum("rij,rfjk->fik", drpq_stack, g_r,
                              precision=jax.lax.Precision.HIGHEST)
 
-        jump_n = sum(
-            0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None] for x in range(dim)
-        )
+        jump_n = 0.5 * (t_pn - t_f)
         lift_in = [flux, jump_n]
         if viscous_dissipation:
             # like the reference (cavity_optimized:840-846), the lifted

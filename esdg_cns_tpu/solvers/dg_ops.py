@@ -72,3 +72,14 @@ def dg_div(disc: Discretization, flux_vols, flux_fs, flux_ps):
         jn = 0.5 * (flux_ps[xdir] - flux_fs[xdir]) * disc.nxj[xdir]
         jump_n = jn if jump_n is None else jump_n + jn
     return (acc + _apply(disc.lift, jump_n)) * disc.inv_jac
+
+
+def dg_div_contracted(disc: Discretization, flux_vols, jump_n):
+    """dg_div with the interface jump already normal-contracted
+    (jump_n [..., Nfq, K]) — the comm-avoiding stress-exchange form
+    where only sum_x flux_x nxj_x crosses the exchange."""
+    acc = None
+    for xdir in range(disc.dim):
+        d = physical_derivatives(disc, flux_vols[xdir])[xdir]
+        acc = d if acc is None else acc + d
+    return (acc + _apply(disc.lift, jump_n)) * disc.inv_jac

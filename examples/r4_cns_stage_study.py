@@ -111,7 +111,7 @@ def main():
     vuf = tr[2 * nfields + 2:]
 
     # ---- stage 2: merged exchange #1 (10 rows) ----
-    parts1 = jnp.concatenate([qm, qm_log, vuf], axis=0)
+    parts1 = jnp.concatenate([qm, qm_log], axis=0)
 
     def exch1(x):
         return disc.gather_traces(x)
@@ -142,7 +142,7 @@ def main():
     # concrete flux / vup via the production helper
     flux, vup = jax.jit(lambda: inviscid_surface(
         disc, disc.gather_traces, qm, uf, qm_log, gamma=gamma,
-        dissipation=True, bc_inviscid=bc.inviscid, extra_parts=(vuf,),
+        dissipation=True, bc_inviscid=bc.inviscid, entropy_extras=True,
     ))()
     vup = jax.jit(lambda vf, vp: bc.entropy_vars(disc, vf, vp, 0.0))(
         vuf, vup)
@@ -156,29 +156,24 @@ def main():
             vu_q, dv, geo, nxj_stack, inv_j, disc.wjq, front,
             vqlift, disc.vhp[nq:], drpq_stack,
             gamma=gamma, mu=p["mu"], lam=None, pr=p["pr"], nq=nq,
-            interpret=interp, proj=True)
+            interpret=interp, proj=True, contract=True)
 
     ms4 = timeit(lambda a, b: visc(a, b)[0], vu_q, dv) - floor
     print(f"4 fused viscous    : {ms4:7.3f} ms")
-    s_f_flat, div, prod, vuq = jax.jit(visc)(vu_q, dv)
-    s_f_all = s_f_flat.reshape(dim, nfields, nfq, -1)
+    t_f, div, prod, vuq = jax.jit(visc)(vu_q, dv)
 
-    # ---- stage 5: stress exchange + stress BC ----
-    def exch2(s_all):
-        s_f = [s_all[d] for d in range(dim)]
-        s_nbr = disc.gather_traces(s_all)
-        s_p = [s_nbr[d] for d in range(dim)]
-        return bc.stress(disc, s_f, s_p, vuf, 0.0)
+    # ---- stage 5: CONTRACTED stress exchange + stress BC ----
+    def exch2(t_f):
+        t_ex = disc.gather_traces(t_f)
+        return bc.stress_normal(disc, t_f, t_ex, 0.0)
 
-    ms5 = timeit(lambda s: exch2(s)[0], s_f_all) - floor
-    print(f"5 stress exch + BC : {ms5:7.3f} ms ({dim * nfields} rows)")
-    s_p = jax.jit(exch2)(s_f_all)
-    s_f = [s_f_all[d] for d in range(dim)]
+    ms5 = timeit(exch2, t_f) - floor
+    print(f"5 stress exch + BC : {ms5:7.3f} ms ({nfields} rows)")
+    t_pn = jax.jit(exch2)(t_f)
 
     # ---- stage 6: XLA tail ----
     def tail(flux, div, ph_qf):
-        jump_n = sum(0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None]
-                     for x in range(dim))
+        jump_n = 0.5 * (t_pn - t_f)
         pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, p["re"])
         lifted = _apply(disc.lift, jnp.stack([flux, jump_n, pen]))
         dq_i = -(ph_qf + lifted[0]) * inv_j[None]
@@ -243,29 +238,25 @@ def cumulative():
             flux, vup = inviscid_surface(
                 disc, disc.gather_traces, qm, uf, qm_log, gamma=gamma,
                 dissipation=True, bc_inviscid=bc.inviscid,
-                extra_parts=(vuf,))
+                entropy_extras=True)
             vup = bc.entropy_vars(disc, vuf, vup, 0.0)
             dv = vup - vuf
             if stage == 2:
                 return flux.sum() + dv.sum() + ph_qf.sum() + vu_q.sum()
-            s_f_flat, div, prod, vuq = cns_viscous_pallas(
+            t_f, div, prod, vuq = cns_viscous_pallas(
                 vu_q, dv, disc.geo, nxj_stack, inv_j, disc.wjq, front,
                 vqlift, disc.vhp[nq:], drpq_stack,
                 gamma=gamma, mu=p["mu"], lam=None, pr=p["pr"], nq=nq,
-                interpret=interp, proj=True)
+                interpret=interp, proj=True, contract=True)
             if stage == 3:
-                return (s_f_flat.sum() + div.sum() + flux.sum()
+                return (t_f.sum() + div.sum() + flux.sum()
                         + ph_qf.sum())
-            s_all = s_f_flat.reshape(dim, nfields, nfq, -1)
-            s_f = [s_all[d] for d in range(dim)]
-            s_nbr = disc.gather_traces(s_all)
-            s_p = bc.stress(disc, s_f, [s_nbr[d] for d in range(dim)],
-                            vuf, 0.0)
+            t_ex = disc.gather_traces(t_f)
+            t_pn = bc.stress_normal(disc, t_f, t_ex, 0.0)
             if stage == 4:
-                return (sum(x.sum() for x in s_p) + div.sum()
+                return (t_pn.sum() + div.sum()
                         + flux.sum() + ph_qf.sum())
-            jump_n = sum(0.5 * (s_p[x] - s_f[x]) * disc.nxj[x][None]
-                         for x in range(dim))
+            jump_n = 0.5 * (t_pn - t_f)
             pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv,
                                        p["re"])
             lifted = _apply(disc.lift, jnp.stack([flux, jump_n, pen]))
