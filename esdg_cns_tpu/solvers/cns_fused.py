@@ -183,17 +183,14 @@ def make_cns_rhs_affine(
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
     if surface_impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown surface_impl: {surface_impl!r}")
-    # auto: the fused surface kernel wins only where the face-trace
-    # sublane count is tile-aligned.  Measured on one v5e chip (60-step
-    # LSRK45 A/B, median of 7): 3D collocated hex cavity (Nfq=96,
-    # aligned) 1.22e9 fused vs 1.16e9 XLA DOF*stage/s; 2D tri cavity
-    # (Nfq=12, misaligned) 1.05e9 fused vs 1.18e9 XLA at K=32768 and
-    # 4.2e8 vs 5.3e8 at K=2048 — the kernel is per-element slower, so
-    # the tri path keeps the XLA surface section.
-    use_fused_surface = (
-        surface_impl == "fused"
-        or (surface_impl == "auto" and volume_impl == "fused_hex")
-    )
+    # auto: XLA everywhere.  The fused surface kernel briefly won on
+    # the aligned hex path (1.22e9 fused vs 1.16e9 XLA, pre-contracted
+    # exchange), but the contracted stress exchange shrank the XLA
+    # tail enough to flip it back: 3D collocated hex cavity 1.75e9
+    # fused vs 2.03e9 XLA DOF*stage/s; 2D tri cavity 1.05e9 fused vs
+    # 1.26e9 XLA (one v5e chip, 60-step LSRK45 A/B, median of 7).  The
+    # kernel stays available via surface_impl='fused'.
+    use_fused_surface = surface_impl == "fused"
     if use_fused_surface:
         from ..ops.pallas_cns_surface import (cns_surface_pallas,
                                               prepare_surface_bc)
