@@ -248,14 +248,15 @@ def bench_euler_hex(n_default=3, k1d_default=32):
     """Headline config: p=3 3D Euler hex, fused Pallas path."""
     n = int(os.environ.get("BENCH_N", n_default))
     k1d = int(os.environ.get("BENCH_K1D", k1d_default))
-    # 60 steps = 300 RK stages per jit call: the ~30 ms per-call
-    # dispatch latency then biases the rate by <3% (it was ~8% at the
-    # round-2 default of 20 steps)
-    steps = int(os.environ.get("BENCH_STEPS", 60))
+    # 240 steps = 1200 RK stages per jit call: the ~30 ms per-call
+    # dispatch latency then biases the rate by <1% (see
+    # bench_cns_cavity for the measurement that motivated 60 -> 240)
+    steps = int(os.environ.get("BENCH_STEPS", 240))
     impl = os.environ.get("BENCH_FD_IMPL", "fused")
     if jax.devices()[0].platform == "cpu":
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         k1d = int(os.environ.get("BENCH_K1D", 4))
+        steps = int(os.environ.get("BENCH_STEPS", 20))
 
     disc, q0 = euler_hex_3d(n=n, k1d=k1d, dtype=jnp.float32)
     if impl == "fused":

@@ -64,6 +64,7 @@ def make_cns_rhs_affine(
     interpret: bool = False,
     block_k: Optional[int] = None,
     axis_aligned: Optional[bool] = None,
+    fd_mode: Optional[str] = None,
 ):
     """Composed-operator CNS RHS for affine meshes (tri/quad/hex).
 
@@ -234,6 +235,7 @@ def make_cns_rhs_affine(
             q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph, gamma,
             nq=nq, interpret=interpret,
             **({} if block_k is None else {"block_k": block_k}),
+            **({} if fd_mode is None else {"fd_mode": fd_mode}),
         )
         qm = tr[:nfields]
         uf = tr[nfields:2 * nfields]
