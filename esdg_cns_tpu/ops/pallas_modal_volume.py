@@ -14,12 +14,17 @@ entirely in VMEM,
   6. the projection Ph QF (MXU),
 
 and emits the partial volume RHS [Nf, Np, KB], the face traces needed
-by the surface/neighbor stage (flux variables, conservative values,
-logs, entropy variables — one concatenated [3 Nf + 2, Nfq, KB] block),
-and the raw entropy variables at quadrature (the viscous front end of
-solvers.cns_fused consumes them).  This removes every HBM round-trip
-between the projection, physics maps, flux differencing and Ph stages
-of the XLA path (SURVEY.md 2.5 items 1-3; reference rhs structure
+by the surface/neighbor stage (flux variables + their logs — one
+concatenated [Nf + 2, Nfq, KB] block; the conservative and
+entropy-variable traces are POINTWISE-RECOVERABLE from these via the
+exact inverse maps, so the consumer rebuilds them instead of streaming
+8 more HBM rows per block — solvers._shared.flux_to_conservative /
+entropy_vars_from_flux, the same comm-avoiding recompute the neighbor
+side of the exchange already does), and the raw entropy variables at
+quadrature (the viscous front end of solvers.cns_fused consumes
+them).  This removes every HBM round-trip between the projection,
+physics maps, flux differencing and Ph stages of the XLA path
+(SURVEY.md 2.5 items 1-3; reference rhs structure
 dg2D_euler_tri.jl:130-186 steps 1-2-6).
 """
 
@@ -76,7 +81,6 @@ def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
     sf = gamma - hv1 + vnorm / (2.0 * hve)
     rhoe = (gm1 / (-hve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
     hrho = rhoe * (-hve)
-    hmom = [rhoe * v for v in hvm]
     he = rhoe * (1.0 - vnorm / (2.0 * hve))
 
     # ---- 4: flux variables + logs at all hybridized points ----
@@ -86,16 +90,12 @@ def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,
     qh = [hrho, *hu, hbeta]
     qlog = [jnp.log(hrho), jnp.log(hbeta)]
 
-    # ---- traces: [qm (Nf) | uf (Nf) | logs (2) | vuf (Nf)] ----
-    uh = [hrho, *hmom, he]
+    # ---- traces: [qm (Nf) | logs (2)]; uf / vuf are rebuilt pointwise
+    # by the consumer (exact inverse maps — see module docstring) ----
     for f in range(nf):
         traces_ref[f] = qh[f][nq:, :]
-        traces_ref[nf + f] = uh[f][nq:, :]
-    traces_ref[2 * nf] = qlog[0][nq:, :]
-    traces_ref[2 * nf + 1] = qlog[1][nq:, :]
-    hv = [hv1, *hvm, hve]
-    for f in range(nf):
-        traces_ref[2 * nf + 2 + f] = hv[f][nq:, :]
+    traces_ref[nf] = qlog[0][nq:, :]
+    traces_ref[nf + 1] = qlog[1][nq:, :]
 
     # ---- 5: triangular flux differencing (pair work halved,
     # face-face block skipped; ops.pallas_fd.triangular_fd) ----
@@ -120,9 +120,11 @@ def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
       q: [Nf, Np, K] conservative state; geo [dim*dim, Ng, K];
       q_skew: tuple of dim [Nh, Nh] skew operators; vq [Nq, Np];
       vhp [Nh, Nq]; ph [Np, Nh].
-    Returns (ph_qf [Nf, Np, K], traces [3 Nf + 2, Nfq, K],
+    Returns (ph_qf [Nf, Np, K], traces [Nf + 2, Nfq, K],
              vu_q [Nf, Nq, K]) with traces rows
-             (qm | uf | log rho, log beta | vuf).
+             (qm | log rho, log beta); the conservative / entropy
+             traces are pointwise functions of these (consumers rebuild
+             them — solvers._shared).
     """
     nf, np_, k = q.shape
     dim = len(q_skew)
@@ -170,12 +172,12 @@ def euler_modal_volume_pallas(q, geo, q_skew, vq, vhp, ph, gamma, *, nq,
         ],
         out_specs=(
             blk(nf, np_, kb),
-            blk(3 * nf + 2, nfq, kb),
+            blk(nf + 2, nfq, kb),
             blk(nf, nq, kb),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nf, np_, kp), q.dtype),
-            jax.ShapeDtypeStruct((3 * nf + 2, nfq, kp), q.dtype),
+            jax.ShapeDtypeStruct((nf + 2, nfq, kp), q.dtype),
             jax.ShapeDtypeStruct((nf, nq, kp), q.dtype),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

@@ -230,6 +230,7 @@ def make_cns_rhs_affine(
 
     def front_fused(q):
         from ..ops.pallas_modal_volume import euler_modal_volume_pallas
+        from ._shared import entropy_vars_from_flux, flux_to_conservative
 
         ph_qf, tr, vu_q = euler_modal_volume_pallas(
             q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph, gamma,
@@ -238,9 +239,15 @@ def make_cns_rhs_affine(
             **({} if fd_mode is None else {"fd_mode": fd_mode}),
         )
         qm = tr[:nfields]
-        uf = tr[nfields:2 * nfields]
-        qm_log = tr[2 * nfields:2 * nfields + 2]
-        vuf = tr[2 * nfields + 2:]
+        qm_log = tr[nfields:nfields + 2]
+        # the kernel streams only [qm | logs] to HBM (8 fewer rows);
+        # the conservative / entropy traces are rebuilt pointwise via
+        # the exact inverse maps — the same recompute the neighbor side
+        # of the exchange does, so dv = vup - vuf becomes BITWISE
+        # antisymmetric across conforming faces (both sides evaluate
+        # the identical formula on the same pair of values)
+        uf = flux_to_conservative(qm, gamma)
+        vuf = entropy_vars_from_flux(qm, qm_log, gamma)
         if use_fused_viscous:
             # the viscous kernel runs the front GEMM itself on vu_q
             return qm, uf, qm_log, vuf, vu_q, None, ph_qf
@@ -275,17 +282,15 @@ def make_cns_rhs_affine(
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]
-        # conservative face values from the flux variables (pointwise)
-        rho = qm[0]
-        vel = [qm[1 + d] for d in range(dim)]
-        beta = qm[nfields - 1]
-        u2 = sum(v * v for v in vel)
-        e = rho / (2.0 * beta * (gamma - 1.0)) + 0.5 * rho * u2
-        uf = jnp.concatenate(
-            [rho[None]] + [(rho * v)[None] for v in vel] + [e[None]], axis=0
-        )
+        # conservative + entropy face values from the flux variables
+        # (pointwise exact inverse maps; the entropy rebuild replaces
+        # an Ef GEMM — qm IS the flux image of the projected face
+        # entropy state, so v(qm) = Ef v(U) up to the roundtrip)
+        from ._shared import entropy_vars_from_flux, flux_to_conservative
+
+        uf = flux_to_conservative(qm, gamma)
         vu_q = phys.v_ufun(q, gamma)
-        vuf = _apply(disc.vhp[nq:], vu_q)
+        vuf = entropy_vars_from_flux(qm, qm_log, gamma)
         if use_fused_viscous:
             # the viscous kernel computes vqd = D_r v itself
             return qm, uf, qm_log, vuf, vu_q, None, ph_qf

@@ -105,10 +105,14 @@ def main():
     ms1 = timeit(lambda q: vol(q)[0], q0) - floor
     print(f"1 fused volume     : {ms1:7.3f} ms")
     ph_qf, tr, vu_q = jax.jit(vol)(q0)
+    from esdg_cns_tpu.solvers._shared import (entropy_vars_from_flux,
+                                              flux_to_conservative)
+
     qm = tr[:nfields]
-    uf = tr[nfields:2 * nfields]
-    qm_log = tr[2 * nfields:2 * nfields + 2]
-    vuf = tr[2 * nfields + 2:]
+    qm_log = tr[nfields:nfields + 2]
+    uf = jax.jit(lambda a: flux_to_conservative(a, gamma))(qm)
+    vuf = jax.jit(lambda a, b: entropy_vars_from_flux(a, b, gamma))(
+        qm, qm_log)
 
     # ---- stage 2: merged exchange #1 (10 rows) ----
     parts1 = jnp.concatenate([qm, qm_log], axis=0)
@@ -226,13 +230,16 @@ def cumulative():
 
     def prefix(stage):
         def f(q):
+            from esdg_cns_tpu.solvers._shared import (
+                entropy_vars_from_flux, flux_to_conservative)
+
             ph_qf, tr, vu_q = euler_modal_volume_pallas(
                 q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph,
                 gamma, nq=nq, interpret=interp)
             qm = tr[:nfields]
-            uf = tr[nfields:2 * nfields]
-            qm_log = tr[2 * nfields:2 * nfields + 2]
-            vuf = tr[2 * nfields + 2:]
+            qm_log = tr[nfields:nfields + 2]
+            uf = flux_to_conservative(qm, gamma)
+            vuf = entropy_vars_from_flux(qm, qm_log, gamma)
             if stage == 1:
                 return ph_qf.sum() + tr.sum() + vu_q.sum()
             flux, vup = inviscid_surface(
