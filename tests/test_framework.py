@@ -349,3 +349,42 @@ def test_cavity_t100_results():
     assert 0.90 < u.max() < 1.10, u.max()
     assert -0.65 < v.min() < -0.40, v.min()
     assert 0.30 < v.max() < 0.55, v.max()
+
+
+def test_cavity_profile_convergence_results():
+    """The EXECUTED centerline grid-convergence study (round 4):
+    Re=1000 cavity steady states at N=3, K1D in {8, 16, 24}, each
+    integrated to T=100 on the TPU
+    (examples/cavity_profile_convergence.py ->
+    results/cavity_profiles_r04.json).  Pins: the successive-resolution
+    centerline L2 differences SHRINK (the flagship anchor at K1D=16 is
+    discretization-converged, not a mesh artifact), every run reached
+    T=100 without rejected steps, and the primary-vortex extrema at all
+    resolutions stay in the canonical Re~1000 band.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "cavity_profiles_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+
+    assert [r["k1d"] for r in d["runs"]] == [8, 16, 24]
+    for r in d["runs"]:
+        assert r["n_rejected"] == 0
+        assert r["n_accepted"] > 5000
+
+    diffs = d["successive_l2_diffs"]
+    assert len(diffs) == 2
+    # refinement must shrink the profile change by ~the expected factor
+    assert diffs[1]["u_l2_diff"] < 0.5 * diffs[0]["u_l2_diff"]
+    assert diffs[1]["v_l2_diff"] < 0.5 * diffs[0]["v_l2_diff"]
+    # fine-grid profile change is small in absolute terms
+    assert diffs[1]["u_l2_diff"] < 1e-2
+    assert diffs[1]["v_l2_diff"] < 1e-2
+
+    for e in d["extrema"]:
+        assert -0.50 < e["u_min"] < -0.35
+        assert -0.62 < e["v_min"] < -0.48
+        assert 0.35 < e["v_max"] < 0.48
