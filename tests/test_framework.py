@@ -388,3 +388,61 @@ def test_cavity_profile_convergence_results():
         assert -0.50 < e["u_min"] < -0.35
         assert -0.62 < e["v_min"] < -0.48
         assert 0.35 < e["v_max"] < 0.48
+
+
+def test_ghia_tables_and_comparator():
+    """Vendored Ghia, Ghia & Shin (1982) Re=1000 tables: structural
+    sanity (endpoint BC values, station ordering, canonical extrema)
+    and the comparator's fixed point (feeding the tables back through
+    compare_to_ghia on [-1,1] coordinates gives zero deviation).
+    """
+    from esdg_cns_tpu.physics.cavity_benchmarks import (
+        GHIA_RE1000_U, GHIA_RE1000_V, compare_to_ghia)
+
+    for tab in (GHIA_RE1000_U, GHIA_RE1000_V):
+        assert tab.shape == (17, 2)
+        assert tab[-1, 0] == 0.0 and tab[0, 0] == 1.0
+        assert np.all(np.diff(tab[:, 0]) < 0)  # stations descend
+    assert GHIA_RE1000_U[0, 1] == 1.0   # lid
+    assert GHIA_RE1000_U[-1, 1] == 0.0  # bottom wall
+    assert abs(GHIA_RE1000_U[:, 1].min() - (-0.38289)) < 1e-12
+    assert abs(GHIA_RE1000_V[:, 1].min() - (-0.51550)) < 1e-12
+    assert abs(GHIA_RE1000_V[:, 1].max() - 0.37095) < 1e-12
+
+    y = 2.0 * GHIA_RE1000_U[::-1, 0] - 1.0
+    x = 2.0 * GHIA_RE1000_V[::-1, 0] - 1.0
+    c = compare_to_ghia(y, GHIA_RE1000_U[::-1, 1], x, GHIA_RE1000_V[::-1, 1])
+    assert c["u_max_dev"] < 1e-14 and c["v_max_dev"] < 1e-14
+
+
+def test_cavity_ghia_anchor_results():
+    """The EXECUTED external-anchor comparison (round 4): steady
+    cavity centerlines vs the Ghia et al. (1982) Re=1000 tables at
+    matched nondimensionalization (preset re=500 -> Ghia Re = 1000 on
+    the side-2 domain), two compressibility legs Ma in {0.3, 0.15}
+    (examples/cavity_ghia_compare.py -> results/cavity_ghia_r04.json).
+    Pins: every leg reached T=100 with zero rejected steps and agrees
+    with the incompressible benchmark to <=1.2e-2 RMS / <=2.5e-2 max in
+    BOTH centerline velocity components — the same order as the
+    measured K1D=16 discretization error (cavity_profiles_r04.json), so
+    the anchor is matched to within the numerics.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "cavity_ghia_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+
+    assert d["config"]["re_ghia"] == 1000.0
+    assert sorted(l["ma"] for l in d["legs"]) == [0.15, 0.3]
+    for leg in d["legs"]:
+        assert leg["n_rejected"] == 0
+        assert leg["n_accepted"] > 10000
+        c = leg["comparison"]
+        assert len(c["u_ghia"]) == 17 and len(c["v_ghia"]) == 17
+        assert c["u_rms_dev"] < 1.2e-2, c["u_rms_dev"]
+        assert c["v_rms_dev"] < 1.2e-2, c["v_rms_dev"]
+        assert c["u_max_dev"] < 2.5e-2, c["u_max_dev"]
+        assert c["v_max_dev"] < 2.5e-2, c["v_max_dev"]
