@@ -83,8 +83,17 @@ class SimConfig:
         return dt
 
 
-def build_problem(cfg: SimConfig, bc=None):
-    """Mesh + discretization + rhs from a config. Returns (disc, rhs)."""
+def build_problem(cfg: SimConfig, bc=None, device_mesh=None,
+                  shard_axis: str = "e"):
+    """Mesh + discretization + rhs from a config. Returns (disc, rhs).
+
+    ``device_mesh`` (a ``jax.sharding.Mesh``): element-axis SPMD in one
+    call — the Discretization's K-trailing leaves are sharded along
+    ``shard_axis`` before the RHS closes over them, so every downstream
+    jit (run_simulation's steppers included) partitions automatically;
+    state built from the returned disc's arrays inherits the sharding.
+    BC closures stay replicated (masks are small boundary constants).
+    """
     kw = {} if cfg.node_type is None else {"node_type": cfg.node_type}
     ref = make_ref_elem(cfg.elem_type, cfg.n, **kw)
     if cfg.elem_type == "line":
@@ -104,6 +113,14 @@ def build_problem(cfg: SimConfig, bc=None):
         ref, verts, etov, periodic_axes=axes, curved_map=cfg.curved_map,
         dtype=cfg.dtype,
     )
+    if device_mesh is not None:
+        from .parallel.sharding import shard_discretization
+
+        if disc.num_elements % device_mesh.devices.size != 0:
+            raise ValueError(
+                f"element count {disc.num_elements} not divisible by "
+                f"{device_mesh.devices.size} devices")
+        disc, _ = shard_discretization(device_mesh, shard_axis, disc)
 
     if cfg.equation == "advection":
         from .solvers import make_advection_rhs

@@ -413,3 +413,38 @@ def test_pjit_implicit_midpoint_matches_single_device():
     assert float(aux_s["newton_residual"].max()) < 1e-10
     np.testing.assert_allclose(np.asarray(qf_s), np.asarray(qf_ref),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_build_problem_device_mesh():
+    """One-call SPMD through the typed config: build_problem(...,
+    device_mesh=...) shards the discretization before the RHS closes
+    over it, so run_simulation partitions automatically and matches the
+    unsharded run."""
+    from esdg_cns_tpu.config import SimConfig, build_problem, run_simulation
+
+    cfg = SimConfig(equation="euler", elem_type="tri", n=2, k1d=8,
+                    t_end=2e-3, stepper="lsrk45", dt=1e-3)
+    disc, rhs = build_problem(cfg)
+    rng = np.random.default_rng(0)
+    sh = (disc.np_, disc.num_elements)
+    q0 = primitive_to_conservative(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((2, *sh))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    qf_ref, aux_ref = run_simulation(cfg, q0, rhs)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    disc_s, rhs_s = build_problem(cfg, device_mesh=mesh)
+    # state placed on the same sharding inherits the partitioning
+    from jax.sharding import NamedSharding
+    q0_s = jax.device_put(q0, NamedSharding(mesh, P(None, None, "e")))
+    qf_s, aux_s = run_simulation(cfg, q0_s, rhs_s)
+    np.testing.assert_allclose(np.asarray(qf_s), np.asarray(qf_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(aux_s["rhstest"][-1]),
+                               float(aux_ref["rhstest"][-1]), atol=1e-10)
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_problem(SimConfig(equation="euler", elem_type="tri", n=2,
+                                k1d=3), device_mesh=mesh)
