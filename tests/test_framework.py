@@ -446,3 +446,26 @@ def test_cavity_ghia_anchor_results():
         assert c["v_rms_dev"] < 1.2e-2, c["v_rms_dev"]
         assert c["u_max_dev"] < 2.5e-2, c["u_max_dev"]
         assert c["v_max_dev"] < 2.5e-2, c["v_max_dev"]
+
+
+def test_ensemble_throughput_results():
+    """The EXECUTED DP-axis measurement (round 4): 8 adaptive cavity
+    solves (Re geomspace 50..800) as one vmapped program vs the best
+    serial baseline (one jitted executable, re traced, called 8x) on
+    the real chip (examples/ensemble_throughput.py ->
+    results/ensemble_throughput_r04.json).  Pins: the batch costs
+    ~one member (small per-member problems underutilize the chip;
+    batching fills it), the speedup over serial is >4x, and both
+    executions agree to f32 reduction-order roundoff."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "ensemble_throughput_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["config"]["batch"] == 8
+    assert d["speedup"] > 4.0, d["speedup"]
+    assert d["batch_vs_one_member"] < 2.0, d["batch_vs_one_member"]
+    assert d["serial_batch_rel_agreement"] < 1e-4
+    assert len(d["errors"]) == 8
