@@ -448,3 +448,34 @@ def test_build_problem_device_mesh():
     with pytest.raises(ValueError, match="divisible"):
         build_problem(SimConfig(equation="euler", elem_type="tri", n=2,
                                 k1d=3), device_mesh=mesh)
+
+
+def test_2d_device_mesh_ensemble_by_elements():
+    """DP x domain-decomposition on ONE 2D device mesh ("ens" x "e"):
+    a batch of simulations vmapped on the leading axis AND the element
+    axis sharded, in one SPMD program — the scaling-book mesh-axis
+    composition.  Matches the single-device vmapped RHS to f64
+    reduction-order roundoff."""
+    disc, _ = _tri_setup(k1d=8, n=2)
+    rng = np.random.default_rng(7)
+    b = 2
+    sh = (b, disc.np_, disc.num_elements)
+    from esdg_cns_tpu.physics import primitive_to_conservative as p2c
+    qb = jax.vmap(p2c)(
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+        jnp.asarray(0.3 * rng.standard_normal((b, 2, *sh[1:]))),
+        jnp.asarray(2 + 0.1 * rng.random(sh)),
+    )
+    rhs = make_euler_rhs(disc, dissipation=True)
+    ref = jax.jit(jax.vmap(lambda q: rhs(q)[0]))(qb)
+
+    from jax.sharding import NamedSharding
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("ens", "e"))
+    disc_s, _ = shard_discretization(mesh2, "e", disc)
+    rhs_s = make_euler_rhs(disc_s, dissipation=True)
+    qb_s = jax.device_put(qb, NamedSharding(mesh2, P("ens", None, None, "e")))
+    out = jax.jit(jax.vmap(lambda q: rhs_s(q)[0]))(qb_s)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out) / scale,
+                               np.asarray(ref) / scale,
+                               rtol=1e-11, atol=1e-11)
