@@ -200,3 +200,46 @@ def test_fused_surface_matches_xla(case):
     assert d < 1e-11 * scale, (case, d, scale)
     assert abs(out["fused"][1] - out["xla"][1]) < 1e-9 * max(
         abs(out["xla"][1]), 1.0)
+
+
+def test_rebuilt_jump_bitwise_antisymmetric():
+    """The comm-avoiding design invariant (docs/design.md): with BOTH
+    sides of every conforming face rebuilding the entropy/conservative
+    traces from the SAME exchanged flux-variable payload, the BR1 jump
+    dv = rebuild(gather(tr)) - rebuild(tr) is BITWISE antisymmetric
+    across faces (side B evaluates the identical subtraction with
+    operands swapped, and fl(a-b) == -fl(b-a) exactly in IEEE
+    arithmetic).  The mixed exact/rebuilt scheme of rounds <4 only
+    achieved roundoff-level antisymmetry.  Checked on a fully periodic
+    tri mesh where gather is the involutive mapP permutation."""
+    from esdg_cns_tpu.core import build_discretization, ref_tri
+    from esdg_cns_tpu.mesh import uniform_tri_mesh
+    from esdg_cns_tpu.solvers._shared import (
+        entropy_vars_from_flux,
+        flux_to_conservative,
+    )
+
+    vx, vy, etov = uniform_tri_mesh(6)
+    disc = build_discretization(ref_tri(2), (vx, vy), etov,
+                                periodic_axes=(0, 1))
+    rng = np.random.default_rng(3)
+    sh = (disc.nfq, disc.num_elements)
+    qm = jnp.stack([
+        jnp.asarray(0.5 + rng.random(sh)),        # rho
+        jnp.asarray(rng.standard_normal(sh)),     # u
+        jnp.asarray(rng.standard_normal(sh)),     # v
+        jnp.asarray(0.5 + rng.random(sh)),        # beta
+    ])
+    logs = jnp.stack([jnp.log(qm[0]), jnp.log(qm[-1])])
+
+    gather = disc.gather_traces
+    qp, logp = gather(qm), gather(logs)
+    # gather must be an involutive permutation on this mesh
+    np.testing.assert_array_equal(np.asarray(gather(qp)), np.asarray(qm))
+
+    dv = entropy_vars_from_flux(qp, logp, 1.4) - entropy_vars_from_flux(
+        qm, logs, 1.4)
+    du = flux_to_conservative(qp, 1.4) - flux_to_conservative(qm, 1.4)
+    # bitwise: the gathered jump IS the negated jump, no tolerance
+    np.testing.assert_array_equal(np.asarray(gather(dv)), np.asarray(-dv))
+    np.testing.assert_array_equal(np.asarray(gather(du)), np.asarray(-du))
