@@ -24,6 +24,18 @@ def main():
     cn = (n + 1) * (n + 2) / 2
     dt0 = 2.0 / (cn * k1d * k1d)
     qf, stats = jax.jit(lambda q: dopri45(rhs, q, t_end, dt0))(q0)
+    if bool(stats["stalled"]) or int(stats["n_accepted"]) == 0:
+        # the entropy projection loses positivity when the mu-wide
+        # Becker profile is under-resolved (log/exp chains on negative
+        # projected density/beta -> NaN; same envelope as the
+        # reference's exp/log entropy projection).  The adaptive
+        # stepper detects the non-finite error estimate and bails.
+        raise SystemExit(
+            f"stepper stalled at t={float(stats['t']):.3e} "
+            f"(accepted {int(stats['n_accepted'])}, rejected "
+            f"{int(stats['n_rejected'])}): the shock width mu="
+            f"{shock.mu} is under-resolved at K1D={k1d}; raise K1D "
+            f"(default 32) or mu")
 
     uq = np.asarray(jnp.einsum("ij,fjk->fik", disc.vq, qf))
     u1d = shock.conservative(np.asarray(disc.xq[0]).ravel(), t_end)
