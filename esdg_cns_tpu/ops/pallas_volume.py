@@ -911,6 +911,9 @@ def euler_volume_split_pallas(q, geo, ef, lift, gamma, *, nq,
     nh = nq + nfq
     if geo.shape[1] != 1:
         raise ValueError("split volume path is affine-only")
+    if pad_x and dense:
+        raise ValueError("pad_x is only implemented for the non-dense "
+                         "split fd kernels")
 
     kb = min(block_k, k)
     pad = (-k) % kb

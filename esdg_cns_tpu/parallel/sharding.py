@@ -129,6 +129,7 @@ def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,
     uses_pallas = (
         kw.get("volume_impl") in ("fused", "fused_hex")
         or kw.get("viscous_impl") == "fused"
+        or kw.get("surface_impl") == "fused"
         or kw.get("flux_diff_impl") in ("pallas", "lines_pallas")
     )
     sm = shard_map(

@@ -174,6 +174,21 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
     return flux, (extras if entropy_extras else nbr[n_inv:])
 
 
+def neighbor_traction(disc, bc, t_f, t_ex, t=0.0):
+    """Neighbor normal traction along the LOCAL normal from the
+    contracted stress exchange (t_ex = gather of t_f = sum_x s_f[x]
+    nxj[x]).  Interior conforming faces carry exactly negated normals,
+    so the neighbor value reads -t_ex; SELF-MAPPED faces (non-periodic
+    boundary, gather returns t_f itself) would flip sign under that
+    rule, so they take the natural t_pn = t_f (zero jump — the
+    pre-contraction semantics, where the per-component self-gather
+    gave sigma_p == sigma_m).  BC regions then override their faces
+    (WallBC.stress_normal applies the same base rule)."""
+    if bc is not None:
+        return bc.stress_normal(disc, t_f, t_ex, t)
+    return jnp.where(disc.bmask[None], t_f, -t_ex)
+
+
 def viscous_penalty_rows(disc, bc, adiab_mask, vuf, vup, dv, re):
     """Interface penalty tau = -1/(Re v_last) rows (stacked [Nf, Nfq, K];
     reference dg2D_CNS_cavity_optimized.jl:817-840, with the special

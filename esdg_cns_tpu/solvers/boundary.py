@@ -237,7 +237,10 @@ class WallBC:
           slip: traction mirrors about nhat, energy reflects.
         """
         dim = self.dim
-        t_pn = -t_ex
+        # base rule: interior -t_ex; self-mapped boundary faces not
+        # covered by any region stay natural (t_f, zero jump) — the
+        # self-gather would otherwise flip the traction sign there
+        t_pn = jnp.where(disc.bmask[None], t_f, -t_ex)
         for r in self.regions:
             m = r.mask
             if r.kind == "dirichlet" and r.stress_state is not None:

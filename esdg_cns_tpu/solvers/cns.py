@@ -47,7 +47,8 @@ def make_viscous_rhs(
 ):
     """Build the BR1 viscous RHS; rhs(q, t) -> (dq, aux with
     'rhstest_visc' = the (sign-definite) viscous entropy production)."""
-    from ._shared import adiabatic_mask, viscous_penalty_rows
+    from ._shared import (adiabatic_mask, neighbor_traction,
+                          viscous_penalty_rows)
 
     dim = disc.dim
     re = (1.0 / mu) if re is None else re
@@ -85,8 +86,7 @@ def make_viscous_rhs(
         s_f = [_apply(disc.vf, s) for s in sigma_m]
         t_f = sum(s_f[x] * disc.nxj[x][None] for x in range(dim))
         t_ex = gather(t_f)
-        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
-                else -t_ex)
+        t_pn = neighbor_traction(disc, bc, t_f, t_ex, t)
 
         dq = dg_div_contracted(disc, sigma_m, 0.5 * (t_pn - t_f))
 
@@ -140,6 +140,7 @@ def make_cns_rhs(
     from ._shared import (
         adiabatic_mask,
         inviscid_surface,
+        neighbor_traction,
         resolve_flux_diff,
         viscous_penalty_rows,
     )
@@ -199,8 +200,7 @@ def make_cns_rhs(
         s_f = [_apply(disc.vf, s) for s in sigma_m]
         t_f = sum(s_f[x] * disc.nxj[x][None] for x in range(dim))
         t_ex = gather(t_f)
-        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
-                else -t_ex)
+        t_pn = neighbor_traction(disc, bc, t_f, t_ex, t)
 
         dq_v = dg_div_contracted(disc, sigma_m, 0.5 * (t_pn - t_f))
 

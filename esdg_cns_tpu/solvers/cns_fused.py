@@ -112,6 +112,7 @@ def make_cns_rhs_affine(
     from ._shared import (
         adiabatic_mask,
         inviscid_surface,
+        neighbor_traction,
         resolve_flux_diff,
         viscous_penalty_rows,
     )
@@ -391,8 +392,7 @@ def make_cns_rhs_affine(
             s_f_all = _apply(ef, jnp.stack(sigma))   # [dim, Nf, Nfq, K]
             t_f = sum(s_f_all[x] * disc.nxj[x][None] for x in range(dim))
         t_ex = gather(t_f)
-        t_pn = (bc.stress_normal(disc, t_f, t_ex, t) if bc is not None
-                else -t_ex)
+        t_pn = neighbor_traction(disc, bc, t_f, t_ex, t)
 
         # ---- viscous divergence (composed) + both LIFTs in one GEMM ----
         if not use_fused_viscous:

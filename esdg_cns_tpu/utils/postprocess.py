@@ -69,8 +69,15 @@ def extract_line(disc, fields, axis: int = 0, value: float = 0.0,
     other_axes = [a for a in range(len(coords)) if a != axis]
     s = np.stack([coords[a][on_line] for a in other_axes], axis=-1)
     v = fp[..., on_line]
-    # average duplicates (element-interface nodes appear once per side)
-    key = np.round(s / max(tol, 1e-14)).astype(np.int64)
+    # average duplicates (element-interface nodes appear once per side).
+    # Gap-based clustering per axis: quantized rounding would split a
+    # roundoff-separated pair straddling a grid-cell boundary.
+    tol_ = max(tol, 1e-14)
+    key = np.empty_like(s, dtype=np.int64)
+    for d in range(s.shape[-1]):
+        sv = np.sort(s[:, d])
+        starts = sv[np.concatenate([[True], np.diff(sv) > tol_])]
+        key[:, d] = np.searchsorted(starts, s[:, d], side="right") - 1
     uniq, inv = np.unique(key, axis=0, return_inverse=True)
     m = uniq.shape[0]
     counts = np.bincount(inv, minlength=m)

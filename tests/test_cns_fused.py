@@ -243,3 +243,65 @@ def test_rebuilt_jump_bitwise_antisymmetric():
     # bitwise: the gathered jump IS the negated jump, no tolerance
     np.testing.assert_array_equal(np.asarray(gather(dv)), np.asarray(-dv))
     np.testing.assert_array_equal(np.asarray(gather(du)), np.asarray(-du))
+
+
+@pytest.mark.parametrize("fd_mode", ["tri8", "full"])
+def test_fd_mode_variants_match(fd_mode):
+    """The study-only flux-differencing layouts ('tri8' sublane-padded
+    triangular, 'full' all-pairs) are algebraically identical to the
+    default triangular unroll; pin the contract so edits to
+    ec_flux_fields or the skew-operator layout can't silently break
+    the dispatchable-but-otherwise-unused variants
+    (ops/pallas_fd.triangular_fd8 / full_fd)."""
+    disc, q0, bc, p = lid_driven_cavity(n=3, k1d=4)
+    rng = np.random.default_rng(3)
+    q = q0 + 5e-4 * jnp.asarray(rng.standard_normal(q0.shape)) \
+        * jnp.asarray([1.0, 0.1, 0.1, 1.0])[:, None, None]
+    flags = dict(bc=bc, mu=p["mu"], pr=p["pr"], re=p["re"],
+                 inviscid_dissipation=True, viscous_dissipation=True,
+                 volume_impl="fused", interpret=True)
+    dq_ref, _ = jax.jit(make_cns_rhs_affine(disc, **flags))(q, 0.0)
+    dq_v, _ = jax.jit(make_cns_rhs_affine(disc, **flags,
+                                          fd_mode=fd_mode))(q, 0.0)
+    scale = float(jnp.abs(dq_ref).max())
+    # f64 reassociation roundoff only (measured ~3e-13 relative)
+    assert float(jnp.abs(dq_ref - dq_v).max()) < 1e-11 * scale
+
+
+def test_natural_boundary_traction_on_self_mapped_faces():
+    """Contracted stress exchange, bc=None / uncovered boundary faces:
+    the neighbor traction at SELF-MAPPED faces must be the natural
+    t_pn = t_f (zero viscous jump), exactly as the pre-contraction
+    per-component self-gather gave sigma_p == sigma_m — not the
+    interior rule -t_ex, which flips the traction sign when the
+    gather returns the local value itself."""
+    from esdg_cns_tpu.solvers._shared import neighbor_traction
+    from esdg_cns_tpu.solvers.boundary import WallBC
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=3)
+    bmask = np.asarray(disc.bmask)
+    assert bmask.any()  # the cavity mesh has true boundary faces
+    rng = np.random.default_rng(7)
+    t_f = jnp.asarray(rng.standard_normal((4, disc.nfq,
+                                           disc.num_elements)))
+    t_ex = disc.gather_traces(t_f)
+    # self-gather precondition: boundary faces read back their own value
+    np.testing.assert_array_equal(np.asarray(t_ex)[:, bmask],
+                                  np.asarray(t_f)[:, bmask])
+
+    t_pn = np.asarray(neighbor_traction(disc, None, t_f, t_ex))
+    np.testing.assert_array_equal(t_pn[:, bmask], np.asarray(t_f)[:, bmask])
+    np.testing.assert_array_equal(t_pn[:, ~bmask],
+                                  np.asarray(-t_ex)[:, ~bmask])
+
+    # WallBC path: faces of dropped regions fall back to natural too
+    pruned = WallBC(regions=bc.regions[:1], nhat=bc.nhat,
+                    bmask=bc.bmask, dim=bc.dim)
+    covered = np.asarray(bc.regions[0].mask)
+    t_pb = np.asarray(neighbor_traction(disc, pruned, t_f, t_ex))
+    uncovered = bmask & ~covered
+    assert uncovered.any()
+    np.testing.assert_array_equal(t_pb[:, uncovered],
+                                  np.asarray(t_f)[:, uncovered])
+    np.testing.assert_array_equal(t_pb[:, ~bmask],
+                                  np.asarray(-t_ex)[:, ~bmask])

@@ -372,6 +372,28 @@ def test_shard_map_cavity_3d_fused_hex():
                                float(aux_ref["rhstest"]), atol=1e-10)
 
 
+def test_shard_map_fused_surface_only():
+    """surface_impl='fused' with the default XLA volume path: the
+    uses_pallas gate must also cover this selector (it carries no
+    varying-mesh-axes annotation either); before the round-4 fix
+    shard_map's vma check rejected the combination at trace time."""
+    from esdg_cns_tpu.parallel.sharding import make_sharded_cns_rhs_affine
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_cns_rhs_affine
+
+    disc, q0, bc, p = lid_driven_cavity(n=2, k1d=8)
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True,
+              surface_impl="fused", interpret=True)
+    dq_ref, aux_ref = jax.jit(make_cns_rhs_affine(disc, **kw))(q0)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    dq_sm, aux_sm = jax.jit(make_sharded_cns_rhs_affine(mesh, disc, **kw))(q0)
+    scale = float(jnp.abs(dq_ref).max())
+    np.testing.assert_allclose(np.asarray(dq_sm) / scale,
+                               np.asarray(dq_ref) / scale,
+                               rtol=1e-11, atol=1e-11)
+
+
 def test_shard_map_rejects_dirichlet_closures():
     """Dirichlet regions close over global-shaped arrays; the halo path
     must refuse them loudly (pjit path handles them)."""
