@@ -93,12 +93,32 @@ def _time_steps(rhs, q0, steps):
         return qf
 
     q0 = jax.device_put(q0)
+    # distinct input per repeat: a remote execution layer that dedupes
+    # identical (program, args) calls would otherwise replay a cached
+    # result and the "elapsed" collapses to dispatch latency (observed
+    # once on the tunneled device: 1200 stages "ran" in 31 us)
+    qs = [jax.block_until_ready(q0 * (1.0 + 1e-6 * i))  # distinct in f32
+          for i in range(reps)]
     run(q0).block_until_ready()  # compile + warm up
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+
+    def _loop():
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            run(qs[i]).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    times = _loop()
+    # sanity floor: no config here legitimately finishes a timed call
+    # in <10 ms (the smallest real elapsed is ~0.7 s); a violation
+    # means the sync did not actually cover execution — re-warm and
+    # retry once rather than recording a garbage artifact
+    if min(times) < 1e-2:
+        print(f"bench: timing anomaly (min {min(times):.2e} s), retrying",
+              file=sys.stderr)
         run(q0).block_until_ready()
-        times.append(time.perf_counter() - t0)
+        times = _loop()
     return times
 
 

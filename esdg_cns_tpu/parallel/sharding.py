@@ -26,6 +26,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.discretization import Discretization
 
 
+# reference-operator / quadrature-weight fields of Discretization:
+# ALWAYS replicated, even when a trailing dim coincidentally equals K
+# (e.g. hex N=1, k1d=2 has Np == K == 8 — the shape heuristic alone
+# would slice Vf across devices and break trace interpolation)
+_REPLICATED_FIELDS = frozenset({
+    "vq", "vf", "pq", "lift", "d", "q_skew", "vh", "ph", "vhp",
+    "wq", "wf", "vp",
+})
+
+
+def _leaf_field_name(path):
+    """Innermost dataclass attribute name on a key path (or None)."""
+    for entry in reversed(path):
+        name = getattr(entry, "name", None)
+        if name is not None:
+            return name
+    return None
+
+
 def shard_discretization(mesh: Mesh, axis: str, disc: Discretization,
                          q: Optional[jnp.ndarray] = None):
     """Place a Discretization (and optionally a state) on a device mesh.
@@ -36,15 +55,16 @@ def shard_discretization(mesh: Mesh, axis: str, disc: Discretization,
     """
     k = disc.num_elements
 
-    def put(leaf):
+    def put(path, leaf):
         leaf = jnp.asarray(leaf)
-        if leaf.ndim >= 1 and leaf.shape[-1] == k:
+        if (_leaf_field_name(path) not in _REPLICATED_FIELDS
+                and leaf.ndim >= 1 and leaf.shape[-1] == k):
             spec = P(*([None] * (leaf.ndim - 1) + [axis]))
         else:
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    disc_s = jax.tree_util.tree_map(put, disc)
+    disc_s = jax.tree_util.tree_map_with_path(put, disc)
     if q is None:
         return disc_s, None
     q_s = jax.device_put(
@@ -54,15 +74,18 @@ def shard_discretization(mesh: Mesh, axis: str, disc: Discretization,
 
 
 def partition_specs(tree, k: int, axis: str):
-    """PartitionSpec pytree: shard every leaf with trailing dim K."""
+    """PartitionSpec pytree: shard every leaf with trailing dim K
+    (reference-operator fields always replicate, see
+    ``_REPLICATED_FIELDS``)."""
 
-    def spec(leaf):
+    def spec(path, leaf):
         leaf = jnp.asarray(leaf)
-        if leaf.ndim >= 1 and leaf.shape[-1] == k:
+        if (_leaf_field_name(path) not in _REPLICATED_FIELDS
+                and leaf.ndim >= 1 and leaf.shape[-1] == k):
             return P(*([None] * (leaf.ndim - 1) + [axis]))
         return P()
 
-    return jax.tree_util.tree_map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def make_sharded_rhs(mesh: Mesh, disc: Discretization, builder,

@@ -131,6 +131,13 @@ def dopri45(
             dtnew, dt_min,
             dt_max_factor * (dt0 if dt_clamp_base is None else dt_clamp_base),
         )
+        # the t_end clamp must not poison the carried step size: an
+        # accepted stub step (remainder of the interval) has err ~ 0
+        # and would hand a collapsed dt to chunked resumes
+        # (examples/cavity_t100.py carries stats['dt'] across chunks);
+        # keep the controller's pre-clamp proposal in that case
+        dtnew = jnp.where(jnp.logical_and(accept, dt < s.dt),
+                          jnp.maximum(dtnew, s.dt), dtnew)
 
         at_floor = jnp.logical_and(~accept, dtnew <= dt_min * (1 + 1e-6))
         n_stuck = jnp.where(accept, 0,
@@ -144,9 +151,11 @@ def dopri45(
                                 hist["n_records"] < max_records),
             )
             idx = jnp.minimum(hist["n_records"], max_records - 1)
-            vals = {"t": t, "dt": dt, "err": err,
-                    **{k: v for k, v in aux.items()
-                       if jnp.ndim(v) == 0}}
+            # step fields are authoritative: an aux diagnostic named
+            # 't'/'dt'/'err' must not overwrite them in the history
+            vals = {**{k: v for k, v in aux.items()
+                       if jnp.ndim(v) == 0},
+                    "t": t, "dt": dt, "err": err}
             hist = {
                 "n_records": hist["n_records"] + rec.astype(jnp.int32),
                 **{k: jnp.where(rec, hist[k].at[idx].set(vals[k]), hist[k])

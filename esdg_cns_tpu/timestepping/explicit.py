@@ -17,23 +17,29 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Carpenter & Kennedy (1994) RK45(5,4) low-storage coefficients
-LSRK45_A = jnp.array([
+# Carpenter & Kennedy (1994) RK45(5,4) low-storage coefficients.
+# Host-side f64 (adaptive.py convention): module-level jnp constants
+# would freeze the dtype at import time (f32 coefficients forever if
+# the consumer enables x64 after importing) and trigger backend init
+# on import.  Indexed with float() below -> weakly typed, so they
+# compute at the state dtype with full-f64 coefficient values.
+LSRK45_A = np.array([
     0.0,
     -567301805773.0 / 1357537059087.0,
     -2404267990393.0 / 2016746695238.0,
     -3550918686646.0 / 2091501179385.0,
     -1275806237668.0 / 842570457699.0,
 ])
-LSRK45_B = jnp.array([
+LSRK45_B = np.array([
     1432997174477.0 / 9575080441755.0,
     5161836677717.0 / 13612068292357.0,
     1720146321549.0 / 2090206949498.0,
     3134564353537.0 / 4481467310338.0,
     2277821191437.0 / 14882151754819.0,
 ])
-LSRK45_C = jnp.array([
+LSRK45_C = np.array([
     0.0,
     1432997174477.0 / 9575080441755.0,
     2526269341429.0 / 6820363962896.0,
@@ -55,9 +61,9 @@ def lsrk45(rhs: Callable, q0, dt, num_steps: int, t0=0.0):
         t = t0 + i * dt
         aux_last = None
         for s in range(5):
-            dq, aux_last = rhs(q, t + LSRK45_C[s] * dt)
-            res = LSRK45_A[s] * res + dt * dq
-            q = q + LSRK45_B[s] * res
+            dq, aux_last = rhs(q, t + float(LSRK45_C[s]) * dt)
+            res = float(LSRK45_A[s]) * res + dt * dq
+            q = q + float(LSRK45_B[s]) * res
         return (q, res), aux_last
 
     (qf, _), aux = jax.lax.scan(

@@ -102,42 +102,56 @@ def apply_block_preconditioner(minv: jnp.ndarray, v: jnp.ndarray):
     nf, np_, k = v.shape
     m = nf * np_
     vm = v.reshape(m, k)
-    out = jnp.einsum("kij,jk->ik", minv, vm)
+    out = jnp.einsum("kij,jk->ik", minv, vm,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(nf, np_, k)
 
 
 def newton_krylov_step(residual: Callable, q_init, *, tol=1e-12,
                        max_newton=20, gmres_tol=1e-8, gmres_restart=30,
                        gmres_maxiter: Optional[int] = None,
-                       precond: Optional[Callable] = None):
+                       precond: Optional[Callable] = None,
+                       with_aux: bool = False):
     """Solve residual(q) = 0 from q_init via (preconditioned) Newton-GMRES.
 
     Convergence is declared on the residual norm ||residual(q)||.
     ``precond``: optional callable v -> M^{-1} v passed to GMRES.
-    Returns (q, newton_iters, final_residual_norm).
+    ``with_aux``: residual(q) -> (r, aux); the aux of the LAST residual
+    evaluation rides along in the loop state and is returned, so
+    callers don't pay an extra RHS evaluation just to fetch
+    diagnostics the solve already computed.
+    Returns (q, newton_iters, final_residual_norm[, aux]).
     """
+
+    def call(q):
+        out = residual(q)
+        return out if with_aux else (out, 0.0)
 
     def norm(r):
         return jnp.linalg.norm(r.ravel())
 
     def cond(state):
-        _, _, it, nrm = state
+        _, _, _, it, nrm = state
         return jnp.logical_and(it < max_newton, nrm > tol)
 
     def body(state):
-        q, r, it, _ = state
-        _, jvp = jax.linearize(residual, q)
+        q, r, _, it, _ = state
+        # linearize the residual only — tangents of aux would add
+        # useless work to every GMRES matvec
+        _, jvp = jax.linearize(lambda x: call(x)[0], q)
         dq, _ = jax.scipy.sparse.linalg.gmres(
             jvp, -r, tol=gmres_tol, restart=gmres_restart,
             maxiter=gmres_maxiter, M=precond, solve_method="batched",
         )
         q_new = q + dq
-        r_new = residual(q_new)
-        return q_new, r_new, it + 1, norm(r_new)
+        r_new, aux_new = call(q_new)
+        return q_new, r_new, aux_new, it + 1, norm(r_new)
 
-    r0 = residual(q_init)
-    state = (q_init, r0, jnp.asarray(0, jnp.int32), norm(r0))
-    q, _, iters, nrm = jax.lax.while_loop(cond, body, state)
+    r0, aux0 = call(q_init)
+    state = (q_init, r0, aux0, jnp.asarray(0, jnp.int32), norm(r0))
+    q, _, aux, iters, nrm = jax.lax.while_loop(cond, body, state)
+    if with_aux:
+        return q, iters, nrm, aux
     return q, iters, nrm
 
 
@@ -165,8 +179,8 @@ def implicit_midpoint(rhs: Callable, q0, dt, num_steps: int, *, t0=0.0,
         t_mid = t0 + (i + 0.5) * dt
 
         def residual(q_mid):
-            dq, _ = rhs(q_mid, t_mid)
-            return q_mid - q - 0.5 * dt * dq
+            dq, aux = rhs(q_mid, t_mid)
+            return q_mid - q - 0.5 * dt * dq, aux
 
         precond = None
         if precond_rhs is not None:
@@ -177,13 +191,15 @@ def implicit_midpoint(rhs: Callable, q0, dt, num_steps: int, *, t0=0.0,
             minv = element_block_jacobi_inv(res_local, q, precond_colors)
             precond = lambda v: apply_block_preconditioner(minv, v)
 
-        q_mid, iters, nrm = newton_krylov_step(
+        # with_aux: the step diagnostics come from the Newton solve's
+        # final residual evaluation instead of one extra RHS call
+        # (the RHS dominates the per-iteration cost)
+        q_mid, iters, nrm, aux = newton_krylov_step(
             residual, q, tol=tol, max_newton=max_newton,
             gmres_tol=gmres_tol, gmres_restart=gmres_restart,
-            gmres_maxiter=gmres_maxiter, precond=precond,
+            gmres_maxiter=gmres_maxiter, precond=precond, with_aux=True,
         )
         q_new = 2.0 * q_mid - q
-        _, aux = rhs(q_mid, t_mid)
         aux = dict(aux)
         aux["newton_iters"] = iters
         aux["newton_residual"] = nrm

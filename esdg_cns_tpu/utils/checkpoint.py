@@ -48,8 +48,12 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.max_to_keep = max_to_keep
-        use_orbax = _HAS_ORBAX if use_orbax is None else (use_orbax
-                                                          and _HAS_ORBAX)
+        if use_orbax and not _HAS_ORBAX:
+            # never silently downgrade an explicit request: the npz
+            # fallback is single-host only (raced/corrupt on a pod)
+            raise ImportError(
+                "use_orbax=True but orbax.checkpoint is not importable")
+        use_orbax = _HAS_ORBAX if use_orbax is None else use_orbax
         if use_orbax:
             self._mgr = ocp.CheckpointManager(
                 self.directory,

@@ -31,16 +31,29 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def _record(self, **kw):
-        row = {k: float(v) for k, v in kw.items()}
+        import numpy as np
+
+        # tolerate non-scalar values (e.g. a vmapped batch axis):
+        # scalars become floats, anything else is stored as an array
+        row = {}
+        for k, v in kw.items():
+            a = np.asarray(v)
+            row[k] = float(a) if a.size == 1 else a
         row["wall_time"] = time.time() - self._t0
         self.rows.append(row)
         if self.print_every and len(self.rows) % self.print_every == 0:
-            msg = ", ".join(f"{k}={v:.6g}" for k, v in row.items())
+            msg = ", ".join(
+                f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items())
             print(f"{self.prefix}{msg}", flush=True)
 
     def log(self, **metrics):
-        """Call from inside jit: emits a host callback with the values."""
-        jax.debug.callback(self._record, **metrics)
+        """Call from inside jit: emits a host callback with the values.
+
+        ordered=True: rows must form a time series — the default
+        unordered callback may deliver permuted under scan/while_loop.
+        """
+        jax.debug.callback(self._record, ordered=True, **metrics)
 
     def history(self, key: str):
         return [r[key] for r in self.rows if key in r]

@@ -58,6 +58,9 @@ def extract_line(disc, fields, axis: int = 0, value: float = 0.0,
     (the remaining axis in 2D), vals [..., M] field values.
     """
     coords = plot_coordinates(disc)
+    if len(coords) < 2:
+        raise ValueError("extract_line needs a 2D/3D discretization "
+                         "(a 1D solution already is a line)")
     fields = np.asarray(fields)
     fp = np.einsum("ij,...jk->...ik", np.asarray(disc.vp), fields)
     on_line = np.abs(coords[axis] - value) < tol

@@ -31,7 +31,10 @@ def regularized_lid(x):
 def boundary_velocity_error(disc, q, lid_mask, wall_mask, lid_profile):
     """Weighted boundary L2 mismatch of (u, v) vs lid/wall data
     (dg2D_CNS_convergence_test.jl:1070-1082)."""
-    qf = jnp.einsum("ij,fjk->fik", disc.vf, q)
+    # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass (~1e-3
+    # relative), which would floor this convergence observable
+    qf = jnp.einsum("ij,fjk->fik", disc.vf, q,
+                    precision=jax.lax.Precision.HIGHEST)
     u = qf[1] / qf[0]
     v = qf[2] / qf[0]
     w = disc.wf[:, None] * disc.sj
