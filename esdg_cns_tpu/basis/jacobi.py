@@ -82,9 +82,13 @@ def gauss_quad(alpha: float, beta: float, n: int):
     """
     a, b = float(alpha), float(beta)
     if n == 0:
+        # weight = mu0, the total Jacobi-weight mass (2.0 only at a=b=0)
+        mu0 = (2.0 ** (a + b + 1) / (a + b + 1)
+               * math.gamma(a + 1) * math.gamma(b + 1)
+               / math.gamma(a + b + 1))
         return (
             np.array([-(a - b) / (a + b + 2)]),
-            np.array([2.0]),
+            np.array([mu0]),
         )
 
     h1 = 2 * np.arange(n + 1, dtype=np.float64) + a + b

@@ -194,11 +194,11 @@ def build_discretization(
     # connectivity + node maps
     ftof = connect_mesh(etov, ref.face_vertices)
     nfp = ref.nfp
-    _, map_p, map_b = build_node_maps(xf_np, ftof, nfp)
+    _, map_p, _ = build_node_maps(xf_np, ftof, nfp)
     if periodic_axes:
         lengths = [np.asarray(v).max() - np.asarray(v).min() for v in vertices]
         map_p, ftof = make_periodic(
-            xf_np, lengths, ftof, map_p, map_b, nfp, axes=periodic_axes
+            xf_np, lengths, ftof, map_p, nfp, axes=periodic_axes
         )
 
     # geometric factors at solution nodes

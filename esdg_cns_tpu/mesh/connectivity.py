@@ -118,7 +118,7 @@ def build_node_maps(xf_list, ftof: np.ndarray, nfp: int):
 
 
 def make_periodic(xf_list, domain_lengths, ftof: np.ndarray, map_p: np.ndarray,
-                  map_b: np.ndarray, nfp: int, axes=None):
+                  nfp: int, axes=None):
     """Rewrite mapP (and FToF) so opposite domain boundaries are identified.
 
     Args:

@@ -72,12 +72,17 @@ def compare_to_ghia(y, u_centerline, x, v_centerline):
     y, u_centerline: u(x=0, y) samples; x, v_centerline: v(x, y=0).
     Returns a dict with per-station deviations and RMS/max summaries.
     """
+    # np.interp silently returns garbage for non-ascending sample
+    # coordinates — sort both profiles (any sampling order is valid)
     y = np.asarray(y)
     x = np.asarray(x)
+    oy, ox = np.argsort(y), np.argsort(x)
+    y, u_centerline = y[oy], np.asarray(u_centerline)[oy]
+    x, v_centerline = x[ox], np.asarray(v_centerline)[ox]
     yg = 2.0 * GHIA_RE1000_U[:, 0] - 1.0
     xg = 2.0 * GHIA_RE1000_V[:, 0] - 1.0
-    u_at = np.interp(yg, y, np.asarray(u_centerline))
-    v_at = np.interp(xg, x, np.asarray(v_centerline))
+    u_at = np.interp(yg, y, u_centerline)
+    v_at = np.interp(xg, x, v_centerline)
     du = u_at - GHIA_RE1000_U[:, 1]
     dv = v_at - GHIA_RE1000_V[:, 1]
     return {

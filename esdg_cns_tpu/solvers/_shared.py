@@ -143,12 +143,16 @@ def inviscid_surface(disc, gather, qm, uf, qm_log, *, gamma, dissipation,
     """
     dim = disc.dim
     nf = qm.shape[0]
-    parts = [qm, qm_log]
-    n_inv = nf + 2
+    # the neighbor logs are consumed only by the extras rebuild and by
+    # the no-BC EC flux; with a BC hook and no extras they would be
+    # dead exchange payload (ghost states force a log recompute anyway)
+    ship_logs = entropy_extras or bc_inviscid is None
+    parts = [qm] + ([qm_log] if ship_logs else [])
+    n_inv = nf + (2 if ship_logs else 0)
     parts.extend(extra_parts)
     nbr = gather(jnp.concatenate(parts, axis=0))
     qp = nbr[:nf]
-    qp_log = nbr[nf:nf + 2]
+    qp_log = nbr[nf:nf + 2] if ship_logs else None
     # pre-BC neighbor entropy variables (BC hooks are applied to the
     # rebuilt traces by the caller, exactly as for exchanged ones)
     extras = (entropy_vars_from_flux(qp, qp_log, gamma)

@@ -32,15 +32,10 @@ from ..physics import euler as phys
 Array = jnp.ndarray
 
 
-def _apply(mat: Array, x: Array) -> Array:
-    """Apply [M, N] operator to [..., N, K] stacked fields on the MXU.
-
-    HIGHEST precision: the default TPU f32 matmul is a single bf16 pass
-    whose ~1e-3 relative error destroys the discrete SBP identities the
-    entropy balance relies on; the operators are small so this is cheap.
-    """
-    return jnp.einsum("ij,...jk->...ik", mat, x,
-                      precision=jax.lax.Precision.HIGHEST)
+# single source of the HIGHEST-precision operator apply (the default
+# TPU f32 matmul is one bf16 pass whose ~1e-3 relative error destroys
+# the discrete SBP identities the entropy balance relies on)
+from .dg_ops import _apply  # noqa: E402
 
 
 def entropy_projection(disc: Discretization, q: Array, gamma: float):
@@ -81,9 +76,11 @@ def make_euler_rhs(
       disc: discretization pytree.
       dissipation: add local Lax-Friedrichs interface dissipation
         (entropy-stable); without it the scheme is entropy-conservative.
-      bc_fun: optional boundary hook ``bc_fun(ctx) -> (qp, up)`` applied
-        to the gathered neighbor traces, where ctx carries (qm, qp, um,
-        up, normals, bmask).  Periodicity is already baked into mapP.
+      bc_fun: optional boundary hook
+        ``bc_fun(disc, qm, qp, uf, up, t) -> (qp, up)`` applied to the
+        gathered neighbor traces (flux-variable and conservative ghost
+        states; WallBC.inviscid has this signature).  Periodicity is
+        already baked into mapP.
       flux_diff_impl: 'xla' (portable), 'lines' (tensor-product sparse,
         collocated quad/hex) or 'pallas' (fused TPU kernel).
       rhstest_mode: accumulation accuracy of the entropy-balance

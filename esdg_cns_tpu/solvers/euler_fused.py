@@ -55,6 +55,20 @@ def make_euler_rhs_fused(
     if disc.elem_type != "hex" or disc.line_ops is None:
         raise ValueError("fused RHS requires a collocated hex mesh")
     if disc.n >= 6 and not force_fused:
+        # the fallback must not silently drop kernel-tuning flags: a
+        # block_k sweep (or interpret=True expectation) at N=6 would
+        # otherwise measure the lines path for every value
+        dropped = {"block_k": block_k, "interpret": interpret or None,
+                   "axis_aligned": axis_aligned,
+                   "surface_block_k": surface_block_k,
+                   "volume_mode": None if volume_mode == "auto"
+                   else volume_mode}
+        set_flags = [k for k, v in dropped.items() if v is not None]
+        if set_flags:
+            raise ValueError(
+                f"N={disc.n} >= 6 falls back to the XLA lines path, "
+                f"which ignores {set_flags}; drop these arguments, use "
+                f"make_euler_rhs directly, or pass force_fused=True")
         from .euler import make_euler_rhs
 
         return make_euler_rhs(

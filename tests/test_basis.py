@@ -148,3 +148,23 @@ def test_hex_derivatives(n):
     dt = vt @ np.linalg.inv(vdm)
     f = t**n * (r + s)
     np.testing.assert_allclose(dt @ f, n * t ** (n - 1) * (r + s), atol=1e-10)
+
+
+def test_gauss_quad_n0_jacobi_weight_mass():
+    """The 1-point Gauss-Jacobi rule's weight is mu0 =
+    2^(a+b+1)/(a+b+1) * G(a+1)G(b+1)/G(a+b+1) — 2.0 only at (0,0)
+    (the old hardcoded value silently mis-scaled any non-Legendre
+    caller)."""
+    import math
+
+    from esdg_cns_tpu.basis import gauss_quad
+
+    for a, b in ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (2.0, 0.5)):
+        x, w = gauss_quad(a, b, 0)
+        mu0 = (2.0 ** (a + b + 1) / (a + b + 1) * math.gamma(a + 1)
+               * math.gamma(b + 1) / math.gamma(a + b + 1))
+        assert abs(w[0] - mu0) < 1e-14 * mu0, (a, b, w[0], mu0)
+        # consistency with the (n+1)-point rule integrating f=1
+        _, w1 = gauss_quad(a, b, 1)
+        assert abs(w1.sum() - mu0) < 1e-13 * mu0, (a, b)
+        assert abs(x[0]) <= 1.0

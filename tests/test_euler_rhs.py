@@ -191,3 +191,30 @@ def test_vortex_convergence_rate_quad():
     e2 = _vortex_error(n, 32, t_end=0.05, elem="quad")
     rate = np.log2(e1 / e2)
     assert rate > n + 0.4, f"rate {rate:.2f}, errors {e1:.3e} -> {e2:.3e}"
+
+
+def test_euler_bc_fun_slip_wall_box():
+    """make_euler_rhs with an inviscid wall hook (bc_fun): the slip
+    (mirror-velocity) ghost zeroes the normal mass flux, so a closed
+    box conserves total mass exactly and stays entropy-stable.  Also
+    exercises the comm-avoiding exchange's no-logs branch (with a BC
+    hook and no entropy extras the neighbor logs are not shipped)."""
+    from esdg_cns_tpu.presets import lid_driven_cavity
+    from esdg_cns_tpu.solvers import make_euler_rhs
+
+    disc, q0, bc, _ = lid_driven_cavity(n=2, k1d=3, bctype="slip")
+    rng = np.random.default_rng(5)
+    q = q0 + 1e-3 * jnp.asarray(rng.standard_normal(q0.shape)) \
+        * jnp.asarray([1.0, 0.1, 0.1, 1.0])[:, None, None]
+    for dissp in (False, True):
+        rhs = make_euler_rhs(disc, dissipation=dissp, bc_fun=bc.inviscid,
+                             compute_rhstest=True)
+        dq, aux = jax.jit(rhs)(q, 0.0)
+        assert np.isfinite(np.asarray(dq)).all()
+        # d/dt of total mass = sum wJq (Vq dq_rho) = 0 (no wall mass flux)
+        dmass = float(jnp.sum(disc.wjq * jnp.einsum(
+            "ij,jk->ik", disc.vq, dq[0],
+            precision=jax.lax.Precision.HIGHEST)))
+        assert abs(dmass) < 1e-13
+        if dissp:
+            assert float(aux["rhstest"]) <= 1e-12

@@ -201,15 +201,16 @@ def test_wall_bc_convergence_full_matrix_results():
     """The EXECUTED full reference grid (round 4, VERDICT item 5):
     N=1..4 x all four dissipation combos x Re in {100, 1000} x
     {adiabatic, isothermal}, K1D=32, T=1 (64 cells, one v5e chip, f32,
-    877 s; examples/wall_bc_convergence.py ->
+    478 s; examples/wall_bc_convergence.py ->
     results/wall_bc_errors_r04.json; reference sweep
     dg2D_CNS_convergence_test.jl:848-852).
 
-    Assertions per (Re, bctype, dissipation) group: the boundary L2
-    error decreases monotonically with N, except the known T=1
-    transient-floor plateau (isothermal, Re=100, inviscid dissipation
-    on: N=4 flattens within 4% of N=3 at ~1.8e-3 — the same
-    saturation the r03 adiabatic study showed approaching N=4).
+    Re-executed after the round-4 self-review fixed the error
+    observable's trace interpolation to precision=HIGHEST: the earlier
+    artifact's apparent N=4 "plateau" at ~1.8e-3 was the one-pass bf16
+    MXU floor polluting the measurement, not a property of the scheme —
+    the corrected Re=100 high-N errors dropped up to 32x (N=4 down to
+    5.6e-5) and EVERY group now converges strictly monotonically in N.
     Cross-axis physics: Re=1000 errors exceed Re=100 at every N
     (thinner boundary layer, same mesh), and inviscid dissipation
     never increases the error at N=1."""
@@ -230,13 +231,8 @@ def test_wall_bc_convergence_full_matrix_results():
     assert len(groups) == 16
     for key, by_n in groups.items():
         errs = [by_n[n] for n in (1, 2, 3, 4)]
-        re_, bt, inv_d, _ = key
-        plateau_ok = (bt == "isothermal" and re_ == 100.0 and inv_d)
         for e1, e2 in zip(errs, errs[1:]):
-            if plateau_ok and e1 < 2e-3:
-                assert e2 < 1.05 * e1, (key, errs)   # bounded plateau
-            else:
-                assert e2 < e1, (key, errs)
+            assert e2 < e1, (key, errs)
         assert errs[0] > 0.02 and errs[-1] < 0.008, (key, errs)
     # Re=1000 is strictly harder than Re=100 on the same mesh
     for (re_, bt, inv_d, visc_d), by_n in groups.items():

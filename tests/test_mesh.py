@@ -72,7 +72,7 @@ def test_periodic_maps(kind, k1d, n):
     ftof = connect_mesh(etov, fv)
     map_m, map_p, map_b = build_node_maps(xf, ftof, ref.nfp)
     lengths = [2.0] * ref.dim
-    map_p2, ftof2 = make_periodic(xf, lengths, ftof, map_p, map_b, ref.nfp)
+    map_p2, ftof2 = make_periodic(xf, lengths, ftof, map_p, ref.nfp)
     # no self-matched (boundary) nodes remain
     assert np.all(map_p2 != map_m) or np.all(
         map_p2.T.ravel()[map_b] != map_b

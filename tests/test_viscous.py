@@ -191,3 +191,38 @@ def test_cavity_3d_entropy_stability(bctype):
     mom_x = np.asarray(jnp.einsum("ij,jk->ik", disc.vq, qf[1]))
     near_lid = zq > 0.75
     assert mom_x[near_lid].mean() > 0
+
+
+@pytest.mark.parametrize("bctype", ["adiabatic", "isothermal", "slip",
+                                    "dirichlet"])
+def test_stress_normal_commutes_with_contraction(bctype):
+    """WallBC.stress_normal (contracted exchange) must equal the
+    normal contraction of WallBC.stress (per-component ghost rules) on
+    every face: interior (the bitwise-antisymmetric normals make
+    -t_ex == sum_x gather(s_x) nxj_x), each wall kind, and self-mapped
+    uncovered faces.  This pins the 'every wall kind commutes with the
+    contraction' argument that the comm-avoiding exchange rests on —
+    stress itself has no other callers since the contraction landed."""
+    from esdg_cns_tpu.presets import becker_shocktube_2d, lid_driven_cavity
+
+    if bctype == "dirichlet":
+        disc, _, bc, _ = becker_shocktube_2d(n=2, k1d=4)
+    else:
+        disc, _, bc, _ = lid_driven_cavity(n=2, k1d=3, bctype=bctype)
+    dim = disc.dim
+    rng = np.random.default_rng(11)
+    s_f = tuple(
+        jnp.asarray(rng.standard_normal((dim + 2, disc.nfq,
+                                         disc.num_elements)))
+        for _ in range(dim)
+    )
+    s_p = tuple(disc.gather_traces(s) for s in s_f)
+    s_p_ghost = bc.stress(disc, s_f, s_p, None, 0.0)
+    t_comp = sum(s_p_ghost[x] * disc.nxj[x][None] for x in range(dim))
+
+    t_f = sum(s_f[x] * disc.nxj[x][None] for x in range(dim))
+    t_ex = disc.gather_traces(t_f)
+    t_pn = bc.stress_normal(disc, t_f, t_ex, 0.0)
+
+    np.testing.assert_allclose(np.asarray(t_comp), np.asarray(t_pn),
+                               rtol=1e-13, atol=1e-13)
