@@ -28,7 +28,9 @@ def hadamard_sum(a: jnp.ndarray, flux_fn: Callable, q: jnp.ndarray):
     qi = q[:, :, None]
     qj = q[:, None, :]
     f = flux_fn(qi, qj)                      # [Nf, n, n, ...]
-    return jnp.einsum("ij,fij...->fi...", a, f)
+    # HIGHEST: operator application (repo-wide SBP-identity rule)
+    return jnp.einsum("ij,fij...->fi...", a, f,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def hadamard_jacobian(a: jnp.ndarray, flux_fn: Callable, q: jnp.ndarray,

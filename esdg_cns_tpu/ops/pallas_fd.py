@@ -248,14 +248,14 @@ def fd_body(qh, qlog, qs, geo, *, dim, nq, nh, gamma, curved,
 
 
 def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
-               nq, gamma, curved):
+               nq, gamma, curved, mode="tri"):
     qh = qh_ref[...]          # [Nf, Nh, KB]
     qlog = qlog_ref[...]      # [2, Nh, KB]
     qs = qs_ref[...]          # [dim, Nh, Nh]
     geo = geo_ref[...]        # [G, Ng, KB]
-    acc = triangular_fd(
+    acc = fd_body(
         tuple(qh[f] for f in range(nf)), (qlog[0], qlog[1]), qs, geo,
-        dim=dim, nq=nq, nh=nh, gamma=gamma, curved=curved,
+        dim=dim, nq=nq, nh=nh, gamma=gamma, curved=curved, mode=mode,
     )
     for f in range(nf):
         out_ref[f] = 2.0 * acc[f]
@@ -265,7 +265,8 @@ def _fd_kernel(qs_ref, qh_ref, qlog_ref, geo_ref, out_ref, *, dim, nf, nh,
     jax.jit, static_argnames=("gamma", "nq", "block_k", "interpret")
 )
 def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
-                             block_k=256, interpret=False):
+                             block_k=256, interpret=False,
+                             fd_mode="tri"):
     """Pallas flux differencing; same contract as flux_differencing_xla.
 
     Args:
@@ -289,7 +290,8 @@ def flux_differencing_pallas(qh, qlog, q_skew, geo, gamma, *, nq,
     ng = geo.shape[1]
 
     kernel = functools.partial(
-        _fd_kernel, dim=dim, nf=nf, nh=nh, nq=nq, gamma=gamma, curved=curved
+        _fd_kernel, dim=dim, nf=nf, nh=nh, nq=nq, gamma=gamma,
+        curved=curved, mode=fd_mode,
     )
     out = pl.pallas_call(
         kernel,

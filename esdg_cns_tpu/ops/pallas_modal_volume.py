@@ -39,11 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fd import fd_body
 from .pallas_volume import _VMEM_LIMIT
-
-
-def _dot(a, x):
-    return jnp.dot(a, x, preferred_element_type=x.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+from .pallas_volume import dot_highest as _dot
 
 
 def _modal_volume_kernel(qs_ref, q_ref, geo_ref, vq_ref, vhp_ref, ph_ref,

@@ -38,11 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..physics.viscous import viscous_flux_nd
 from .pallas_volume import _VMEM_LIMIT
-
-
-def _dot(a, x):
-    return jnp.dot(a, x, preferred_element_type=x.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+from .pallas_volume import dot_highest as _dot
 
 
 def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,

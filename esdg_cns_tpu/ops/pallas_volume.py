@@ -31,6 +31,59 @@ from ..physics.euler import ec_flux_fields
 from .tensor_product_fd import LineOps, _hex_line_coeffs
 
 
+def dot_highest(a, x):
+    """HIGHEST-precision kernel matmul (single source for every Pallas
+    kernel: the default one-pass bf16 MXU matmul breaks the SBP/entropy
+    identities — CLAUDE.md precision rule; works inside Mosaic)."""
+    return jnp.dot(a, x, preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _entropy_project_hex(q, ef, gamma):
+    """Collocated-hex entropy projection, pure jnp on VMEM values
+    (shared by the joint and split volume kernels): conservative
+    volume state q [5, Nq, KB] -> hybridized flux variables
+    qh = (rho, u1..3, beta) and logs (log rho, log beta), each
+    [Nh, KB] = volume rows stacked over extrapolated-face rows.
+
+      v(U) at volume nodes -> Vf = Ef V (MXU) -> U(Vf) -> flux vars.
+    """
+    gm1 = gamma - 1.0
+    rho, m1, m2, m3, e = (q[i] for i in range(5))
+    rhou2 = m1 * m1 + m2 * m2 + m3 * m3
+    p = gm1 * (e - 0.5 * rhou2 / rho)
+    s = jnp.log(p) - gamma * jnp.log(rho)
+    v1 = (gamma + 1.0 - s) - gm1 * e / p
+    vm = [gm1 * m / p for m in (m1, m2, m3)]
+    ve = -gm1 * rho / p
+
+    def face(x):
+        return dot_highest(ef, x)
+
+    fv1, fve = face(v1), face(ve)
+    fvm = [face(v) for v in vm]
+    vnorm = fvm[0] * fvm[0] + fvm[1] * fvm[1] + fvm[2] * fvm[2]
+    sf = gamma - fv1 + vnorm / (2.0 * fve)
+    rhoe = (gm1 / (-fve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
+    frho = rhoe * (-fve)
+    fmom = [rhoe * v for v in fvm]
+    fe = rhoe * (1.0 - vnorm / (2.0 * fve))
+
+    beta_v = rho / (2.0 * p)
+    uvel = [m / rho for m in (m1, m2, m3)]
+    fp = gm1 * (fe - 0.5 * (fmom[0] * fmom[0] + fmom[1] * fmom[1]
+                            + fmom[2] * fmom[2]) / frho)
+    beta_f = frho / (2.0 * fp)
+    fuvel = [m / frho for m in fmom]
+
+    def hyb(vol_x, face_x):
+        return jnp.concatenate([vol_x, face_x], axis=0)
+
+    qh = [hyb(rho, frho)] + [hyb(uvel[d], fuvel[d]) for d in range(3)] \
+        + [hyb(beta_v, beta_f)]
+    return qh, [jnp.log(qh[0]), jnp.log(qh[4])]
+
+
 def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
                    ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma,
                    curved, view_acc=False, diag=False, pad_x=False):
@@ -49,43 +102,8 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
     ef = ef_ref[...]                  # [Nfq, Nq]
     lift = lift_ref[...]              # [Nq, Nfq]
 
-    # ---- entropy variables at volume nodes ----
-    rho, m1, m2, m3, e = (q[i] for i in range(5))
-    rhou2 = m1 * m1 + m2 * m2 + m3 * m3
-    p = gm1 * (e - 0.5 * rhou2 / rho)
-    s = jnp.log(p) - gamma * jnp.log(rho)
-    v1 = (gamma + 1.0 - s) - gm1 * e / p
-    vm = [gm1 * m / p for m in (m1, m2, m3)]
-    ve = -gm1 * rho / p
-
-    # ---- face extrapolation + inverse map ----
-    def face(x):
-        return jnp.dot(ef, x, preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
-
-    fv1, fve = face(v1), face(ve)
-    fvm = [face(v) for v in vm]
-    vnorm = fvm[0] * fvm[0] + fvm[1] * fvm[1] + fvm[2] * fvm[2]
-    sf = gamma - fv1 + vnorm / (2.0 * fve)
-    rhoe = (gm1 / (-fve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
-    frho = rhoe * (-fve)
-    fmom = [rhoe * v for v in fvm]
-    fe = rhoe * (1.0 - vnorm / (2.0 * fve))
-
-    # ---- flux variables + logs at volume and face points ----
-    beta_v = rho / (2.0 * p)
-    uvel = [m / rho for m in (m1, m2, m3)]
-    fp = gm1 * (fe - 0.5 * (fmom[0] * fmom[0] + fmom[1] * fmom[1]
-                            + fmom[2] * fmom[2]) / frho)
-    beta_f = frho / (2.0 * fp)
-    fuvel = [m / frho for m in fmom]
-
-    def hyb(vol_x, face_x):
-        return jnp.concatenate([vol_x, face_x], axis=0)
-
-    qh = [hyb(rho, frho)] + [hyb(uvel[d], fuvel[d]) for d in range(3)] \
-        + [hyb(beta_v, beta_f)]
-    qlog = [jnp.log(qh[0]), jnp.log(qh[4])]
+    # ---- entropy projection -> hybridized flux variables + logs ----
+    qh, qlog = _entropy_project_hex(q, ef, gamma)
 
     # ---- traces for the surface stage: (rho, u, beta) + logs only;
     # the conservative face values the LF term needs are re-derived
@@ -323,7 +341,16 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
     kb = min(block_k, k)
     pad = (-k) % kb
     if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        # quiescent padded lanes (rho=1, mom=0, E=1): all-ones state has
+        # negative pressure and would fill the padded lanes with NaN
+        # from log/pow — same invariant as the split path (below) and
+        # the modal kernel (keeps jax_debug_nans and any future
+        # cross-lane op safe; padded outputs are sliced away)
+        quiescent = jnp.zeros((nf,), q.dtype).at[0].set(1.0).at[-1].set(1.0)
+        q = jnp.concatenate(
+            [q, jnp.broadcast_to(quiescent[:, None, None], (nf, nq_, pad))],
+            axis=-1,
+        )
         geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
     kp = k + pad
     ng = geo.shape[1]
@@ -392,44 +419,10 @@ def _proj_kernel(q_ref, ef_ref, qh_ref, qlog_ref, traces_ref, *, gamma):
     """
     nf = q_ref.shape[0]
     nq = q_ref.shape[1]
-    gm1 = gamma - 1.0
     q = q_ref[...]
     ef = ef_ref[...]
 
-    rho, m1, m2, m3, e = (q[i] for i in range(5))
-    rhou2 = m1 * m1 + m2 * m2 + m3 * m3
-    p = gm1 * (e - 0.5 * rhou2 / rho)
-    s = jnp.log(p) - gamma * jnp.log(rho)
-    v1 = (gamma + 1.0 - s) - gm1 * e / p
-    vm = [gm1 * m / p for m in (m1, m2, m3)]
-    ve = -gm1 * rho / p
-
-    def face(x):
-        return jnp.dot(ef, x, preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
-
-    fv1, fve = face(v1), face(ve)
-    fvm = [face(v) for v in vm]
-    vnorm = fvm[0] * fvm[0] + fvm[1] * fvm[1] + fvm[2] * fvm[2]
-    sf = gamma - fv1 + vnorm / (2.0 * fve)
-    rhoe = (gm1 / (-fve) ** gamma) ** (1.0 / gm1) * jnp.exp(-sf / gm1)
-    frho = rhoe * (-fve)
-    fmom = [rhoe * v for v in fvm]
-    fe = rhoe * (1.0 - vnorm / (2.0 * fve))
-
-    beta_v = rho / (2.0 * p)
-    uvel = [m / rho for m in (m1, m2, m3)]
-    fp = gm1 * (fe - 0.5 * (fmom[0] * fmom[0] + fmom[1] * fmom[1]
-                            + fmom[2] * fmom[2]) / frho)
-    beta_f = frho / (2.0 * fp)
-    fuvel = [m / frho for m in fmom]
-
-    def hyb(vol_x, face_x):
-        return jnp.concatenate([vol_x, face_x], axis=0)
-
-    qh = [hyb(rho, frho)] + [hyb(uvel[d], fuvel[d]) for d in range(3)] \
-        + [hyb(beta_v, beta_f)]
-    qlog = [jnp.log(qh[0]), jnp.log(qh[4])]
+    qh, qlog = _entropy_project_hex(q, ef, gamma)
     for i in range(5):
         qh_ref[i] = qh[i]
         traces_ref[i] = qh[i][nq:, :]

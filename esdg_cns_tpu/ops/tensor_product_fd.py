@@ -123,7 +123,7 @@ def flux_differencing_lines(qh, qlog, geo, gamma, *, elem_type: str,
     nf, nh, k = qh.shape
     dim = 3 if elem_type == "hex" else 2
     n1d = line_ops.n1d
-    nfp = nh - nq and (nh - nq) // (2 * dim)
+    nfp = (nh - nq) // (2 * dim)
     s1 = np.asarray(line_ops.s1)
     em = np.asarray(line_ops.e_minus)
     ep = np.asarray(line_ops.e_plus)
@@ -505,6 +505,12 @@ def _hex_lines_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
     """Fused line-sparse flux differencing for one hex element block.
 
     Entire partner loop unrolled on VMEM values; no HBM intermediates.
+
+    NOTE: study/portable variant of pallas_volume._volume_kernel's fd
+    mid-section (the production path); it deliberately lacks the diag
+    axis-aligned specialization, view_acc and pad_x options that live
+    there.  Correctness fixes to the pair bookkeeping must be applied
+    to BOTH loops.
     """
     nq = n1 ** 3
     nfp = n1 * n1
