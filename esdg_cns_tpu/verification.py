@@ -6,6 +6,15 @@ convergence sweep (dg2D_CNS_convergence_test.jl:836-1089): for each
 the regularized lid profile vlid = (1 + cos(pi x))/2 to time T and
 measure the boundary-weighted L2 mismatch of the velocity trace against
 the lid/wall data.
+
+``make_mms_source`` / ``make_mms_rhs`` / ``mms_convergence_study`` add a
+method-of-manufactured-solutions harness (beyond the reference, whose
+exact-solution anchors are the 1D-profile Becker shock and the
+boundary-trace cavity error): pick ANY smooth space-time-periodic state
+u(x, t), derive the exact compressible-NS source S = du/dt + div F(u)
+- div sigma(u) by nested forward-mode AD through the same euler_flux /
+v_ufun / viscous_flux_* functions the solver uses, and measure interior
+L2 convergence of the full multi-dimensional viscous operator.
 """
 
 from __future__ import annotations
@@ -165,4 +174,179 @@ def wall_bc_convergence_study(
                  for k, v in results.items()],
                 f, indent=2,
             )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Method of manufactured solutions (MMS)
+# ---------------------------------------------------------------------------
+
+
+def make_mms_source(u_fun, dim: int, *, mu: float = 0.0, lam=None,
+                    pr: float = 0.71, gamma: float = 1.4):
+    """Exact source for a manufactured compressible-NS solution.
+
+    ``u_fun(*coords, t) -> [Nfields]`` is any smooth conservative state
+    written with scalar-broadcastable jnp ops.  Returns
+    ``source(coords, t) -> [Nfields, ...]`` with ``coords`` stacked
+    ``[dim, ...]``, computing pointwise by nested forward-mode AD
+
+        S = du/dt + div F(u) - div sigma(u),
+
+    where F is the exact Euler flux and sigma the viscous flux assembled
+    through the SAME v_ufun / viscous_flux_{1,2,3}d compositions the
+    discrete RHS uses, so du/dt = RHS(u) + S holds exactly for the
+    continuous operator the scheme discretizes.
+    """
+    from .physics import euler as _eu
+    from .physics import viscous as _vis
+
+    def s_point(c, t):
+        u_of = lambda cc, tt: u_fun(*[cc[d] for d in range(dim)], tt)
+        s = jax.jacfwd(lambda tt: u_of(c, tt))(t)
+
+        def stacked_flux(cc):
+            return jnp.stack(_eu.euler_flux(u_of(cc, t), gamma))
+
+        jf = jax.jacfwd(stacked_flux)(c)              # [dim, nf, dim]
+        s = s + sum(jf[d, :, d] for d in range(dim))
+
+        if mu != 0.0:
+            def stacked_sigma(cc):
+                v_of = lambda c2: _eu.v_ufun(u_of(c2, t), gamma)
+                v = v_of(cc)
+                gv = jax.jacfwd(v_of)(cc)             # [nf, dim]
+                if dim == 1:
+                    sig = (_vis.viscous_flux_1d(v, gv[:, 0], mu, lam,
+                                                pr, gamma),)
+                elif dim == 2:
+                    sig = _vis.viscous_flux_2d(v, gv[:, 0], gv[:, 1], mu,
+                                               lam, pr, gamma)
+                else:
+                    sig = _vis.viscous_flux_3d(v, gv[:, 0], gv[:, 1],
+                                               gv[:, 2], mu, lam, pr, gamma)
+                return jnp.stack(sig)                 # [dim, nf]
+
+            js = jax.jacfwd(stacked_sigma)(c)         # [dim, nf, dim]
+            s = s - sum(js[d, :, d] for d in range(dim))
+        return s
+
+    def source(coords, t):
+        flat = coords.reshape(dim, -1).T              # [P, dim]
+        sp = jax.vmap(lambda c: s_point(c, t))(flat)  # [P, nf]
+        return sp.T.reshape((sp.shape[1],) + coords.shape[1:])
+
+    return source
+
+
+def make_mms_rhs(disc, rhs, source):
+    """Wrap ``rhs(q, t) -> (dq, aux)`` with the L2-projected source.
+
+    For affine elements the per-element Jacobian cancels between the
+    weighted mass inverse and the source quadrature, so the nodal source
+    contribution is exactly ``Pq @ S(xq)``; curved meshes would need the
+    wJq-weighted projection and are rejected.
+    """
+    if disc.geo.shape[1] != 1:
+        raise NotImplementedError("make_mms_rhs supports affine meshes only")
+    xq = jnp.stack(disc.xq)
+
+    def rhs_mms(q, t):
+        dq, aux = rhs(q, t)
+        s = source(xq, t)
+        dq = dq + jnp.einsum("ij,fjk->fik", disc.pq, s,
+                             precision=jax.lax.Precision.HIGHEST)
+        return dq, aux
+
+    return rhs_mms
+
+
+def mms_solution_2d(x, y, t, gamma: float = 1.4):
+    """A smooth space-periodic (period 2) manufactured 2D CNS state."""
+    rho = 1.0 + 0.2 * jnp.sin(jnp.pi * (x - 0.5 * t)) \
+        * jnp.sin(jnp.pi * (y - 0.3 * t))
+    u = 0.25 + 0.1 * jnp.sin(jnp.pi * x) * jnp.cos(jnp.pi * y) * jnp.cos(t)
+    v = -0.15 + 0.1 * jnp.cos(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.cos(t)
+    p = 1.0 + 0.1 * jnp.cos(jnp.pi * (x - y)) * jnp.cos(2.0 * t)
+    e = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v)
+    return jnp.stack([rho, rho * u, rho * v, e])
+
+
+def mms_l2_error(disc, q, u_fun, t):
+    """Relative quadrature-weighted L2 error over all fields."""
+    qq = jnp.einsum("ij,fjk->fik", disc.vq, q,
+                    precision=jax.lax.Precision.HIGHEST)
+    ue = u_fun(*disc.xq, t)
+    err = jnp.sum(disc.wjq * jnp.sum((qq - ue) ** 2, axis=0))
+    norm = jnp.sum(disc.wjq * jnp.sum(ue**2, axis=0))
+    return jnp.sqrt(err / norm)
+
+
+def mms_convergence_study(
+    orders: Sequence[int] = (2, 3),
+    k1ds: Sequence[int] = (2, 4, 8),
+    *,
+    mu: float = 0.05,
+    pr: float = 0.71,
+    gamma: float = 1.4,
+    t_end: float = 0.1,
+    cfl: float = 0.25,
+    u_fun=None,
+    dissipation: tuple = (True, True),
+    output_path: str | None = None,
+    verbose: bool = False,
+):
+    """Interior L2 convergence of the full CNS operator on periodic tri
+    meshes against a manufactured solution.  Returns
+    {n: {"k1d": [...], "error": [...], "rates": [...]}}.
+    """
+    import time
+
+    from .core import build_discretization, ref_tri
+    from .mesh import uniform_tri_mesh
+
+    u_fun = mms_solution_2d if u_fun is None else u_fun
+    source = make_mms_source(u_fun, 2, mu=mu, pr=pr, gamma=gamma)
+    inv_d, visc_d = dissipation
+    results = {}
+    for n in orders:
+        cn = (n + 1) * (n + 2) / 2
+        errors = []
+        for k1d in k1ds:
+            vx, vy, etov = uniform_tri_mesh(k1d)
+            disc = build_discretization(ref_tri(n), (vx, vy), etov,
+                                        periodic_axes=(0, 1))
+            h = 2.0 / k1d
+            dt = cfl * min(h / cn, h * h / (max(mu, 1e-30) * cn * cn))
+            num_steps = max(1, int(np.ceil(t_end / dt)))
+            dt = t_end / num_steps
+            rhs = make_cns_rhs(
+                disc, mu=mu, pr=pr, gamma=gamma,
+                inviscid_dissipation=inv_d, viscous_dissipation=visc_d,
+                compute_rhstest=False,
+            )
+            rhs_mms = make_mms_rhs(disc, rhs, source)
+            q0 = u_fun(*[jnp.asarray(c) for c in disc.x], 0.0)
+
+            from .timestepping import lsrk45
+
+            t0 = time.time()
+            solve = jax.jit(
+                lambda q, r=rhs_mms, dt=dt, ns=num_steps:
+                lsrk45(r, q, dt, ns)[0]
+            )
+            qf = solve(q0)
+            err = float(mms_l2_error(disc, qf, u_fun, t_end))
+            errors.append(err)
+            if verbose:
+                print(f"MMS N={n} K1D={k1d}: err={err:.6e} "
+                      f"steps={num_steps} [{time.time() - t0:.1f}s]",
+                      flush=True)
+        rates = [float(np.log2(errors[i - 1] / errors[i]))
+                 for i in range(1, len(errors))]
+        results[n] = {"k1d": list(k1ds), "error": errors, "rates": rates}
+
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump({str(k): v for k, v in results.items()}, f, indent=2)
     return results

@@ -489,3 +489,78 @@ def test_ensemble_throughput_results():
     assert d["batch_vs_one_member"] < 2.0, d["batch_vs_one_member"]
     assert d["serial_batch_rel_agreement"] < 1e-4
     assert len(d["errors"]) == 8
+
+
+def test_mms_harness_smoke():
+    """Live MMS run at the coarsest pair: the AD-derived source keeps
+    the manufactured solution an (approximate) solution of the discrete
+    system — interior L2 error small and refining at rate > N - 0.5
+    even pre-asymptotically (2 -> 4 elements per side)."""
+    from esdg_cns_tpu.verification import mms_convergence_study
+
+    res = mms_convergence_study(orders=(2,), k1ds=(2, 4), t_end=0.05)
+    errs = res[2]["error"]
+    assert errs[0] < 0.05, errs
+    assert errs[1] < errs[0]
+    assert res[2]["rates"][0] > 1.5, res[2]["rates"]
+
+
+def test_mms_source_consistency():
+    """Local truncation of the projected-source RHS on the interpolated
+    exact state: resid = rhs(q_ex) + P(S) - du_ex/dt, measured in the
+    quadrature-weighted L2 norm, decays under refinement (measured rate
+    ~1.7 pre-asymptotically at N=3 — the viscous truncation carries
+    mu * pi^4-scale fourth-derivative constants; the SOLUTION error
+    converges at ~N+1, see test_mms_harness_smoke / the executed
+    artifact)."""
+    import jax
+
+    from esdg_cns_tpu.core import build_discretization, ref_tri
+    from esdg_cns_tpu.mesh import uniform_tri_mesh
+    from esdg_cns_tpu.solvers import make_cns_rhs
+    from esdg_cns_tpu.verification import (
+        make_mms_rhs, make_mms_source, mms_solution_2d)
+
+    mu = 0.05
+    source = make_mms_source(mms_solution_2d, 2, mu=mu, pr=0.71)
+
+    def l2_resid(k1d):
+        vx, vy, etov = uniform_tri_mesh(k1d)
+        disc = build_discretization(ref_tri(3), (vx, vy), etov,
+                                    periodic_axes=(0, 1))
+        rhs = make_cns_rhs(disc, mu=mu, pr=0.71, compute_rhstest=False)
+        rhs_mms = make_mms_rhs(disc, rhs, source)
+        q0 = mms_solution_2d(*[jnp.asarray(c) for c in disc.x], 0.0)
+        dudt = jax.jacfwd(
+            lambda t: mms_solution_2d(*[jnp.asarray(c) for c in disc.x], t)
+        )(0.0)
+        dq, _ = rhs_mms(q0, 0.0)
+        dql = jnp.einsum("ij,fjk->fik", disc.vq, dq - dudt,
+                         precision=jax.lax.Precision.HIGHEST)
+        return float(jnp.sqrt(jnp.sum(disc.wjq * jnp.sum(dql**2, axis=0))))
+
+    r4, r8 = l2_resid(4), l2_resid(8)
+    assert r8 < 0.2, (r4, r8)            # absolute sanity (measured 0.097)
+    assert r8 < r4 / 2.0, (r4, r8)       # decays under refinement
+
+
+def test_mms_convergence_results():
+    """The EXECUTED MMS artifact (round 4, CPU f64, mu=0.05, T=0.1,
+    LF + viscous dissipation on): interior L2 errors of the full CNS
+    operator vs the manufactured solution decay monotonically for
+    N=2,3,4 over K1D=2,4,8, with the finest observed rate > N + 0.4
+    (measured 3.06 / 3.62 / 4.45 — approaching N+1)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "mms_rates_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["config"]["x64"] is True
+    for n_str, row in d["results"].items():
+        n = int(n_str)
+        errs = row["error"]
+        assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), (n, errs)
+        assert row["rates"][-1] > n + 0.4, (n, row["rates"])
+        assert errs[-1] < 5e-4, (n, errs)
