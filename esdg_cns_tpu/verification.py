@@ -244,18 +244,29 @@ def make_mms_rhs(disc, rhs, source):
 
     For affine elements the per-element Jacobian cancels between the
     weighted mass inverse and the source quadrature, so the nodal source
-    contribution is exactly ``Pq @ S(xq)``; curved meshes would need the
-    wJq-weighted projection and are rejected.
+    contribution is exactly ``Pq @ S(xq)``.  On curved meshes the
+    Jacobian varies over the element and the projection is the
+    per-element wJq-weighted one: ``(Vq' W_J Vq)^{-1} Vq' W_J S`` with
+    ``W_J = diag(wq * J_k)`` — precomputed once as a [K, Np, Nq]
+    projector stack.
     """
-    if disc.geo.shape[1] != 1:
-        raise NotImplementedError("make_mms_rhs supports affine meshes only")
+    hp = jax.lax.Precision.HIGHEST
     xq = jnp.stack(disc.xq)
+    if disc.geo.shape[1] == 1:
+        def project(s):
+            return jnp.einsum("ij,fjk->fik", disc.pq, s, precision=hp)
+    else:
+        m = jnp.einsum("qi,qk,qj->kij", disc.vq, disc.wjq, disc.vq,
+                       precision=hp)
+        vtw = jnp.einsum("qi,qk->kiq", disc.vq, disc.wjq, precision=hp)
+        proj = jnp.linalg.solve(m, vtw)               # [K, Np, Nq]
+
+        def project(s):
+            return jnp.einsum("kiq,fqk->fik", proj, s, precision=hp)
 
     def rhs_mms(q, t):
         dq, aux = rhs(q, t)
-        s = source(xq, t)
-        dq = dq + jnp.einsum("ij,fjk->fik", disc.pq, s,
-                             precision=jax.lax.Precision.HIGHEST)
+        dq = dq + project(source(xq, t))
         return dq, aux
 
     return rhs_mms
@@ -270,6 +281,28 @@ def mms_solution_2d(x, y, t, gamma: float = 1.4):
     p = 1.0 + 0.1 * jnp.cos(jnp.pi * (x - y)) * jnp.cos(2.0 * t)
     e = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v)
     return jnp.stack([rho, rho * u, rho * v, e])
+
+
+def mms_solution_3d(x, y, z, t, gamma: float = 1.4):
+    """A smooth space-periodic (period 2) manufactured 3D CNS state."""
+    rho = 1.0 + 0.2 * jnp.sin(jnp.pi * (x - 0.4 * t)) \
+        * jnp.sin(jnp.pi * (y - 0.2 * t)) * jnp.sin(jnp.pi * z)
+    u = 0.25 + 0.1 * jnp.sin(jnp.pi * x) * jnp.cos(jnp.pi * y) \
+        * jnp.cos(jnp.pi * z) * jnp.cos(t)
+    v = -0.15 + 0.1 * jnp.cos(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.cos(t)
+    w = 0.1 * jnp.cos(jnp.pi * x) * jnp.sin(jnp.pi * z) * jnp.sin(t)
+    p = 1.0 + 0.1 * jnp.cos(jnp.pi * (x - y + z)) * jnp.cos(2.0 * t)
+    e = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v + w * w)
+    return jnp.stack([rho, rho * u, rho * v, rho * w, e])
+
+
+def boundary_preserving_warp(*cs, alpha: float = 0.1):
+    """Polynomial mesh warp c -> c + alpha * prod(c^2 - 1): vanishes on
+    the whole boundary of [-1, 1]^dim, so periodic face identification
+    stays exact while every interior element becomes genuinely curved
+    (same family as the curved free-stream test, tests/test_euler_rhs)."""
+    d = alpha * np.prod([(c - 1.0) * (c + 1.0) for c in cs], axis=0)
+    return tuple(c + d for c in cs)
 
 
 def mms_l2_error(disc, q, u_fun, t):
@@ -292,30 +325,48 @@ def mms_convergence_study(
     t_end: float = 0.1,
     cfl: float = 0.25,
     u_fun=None,
+    elem: str = "tri",
+    curved_map=None,
     dissipation: tuple = (True, True),
     output_path: str | None = None,
     verbose: bool = False,
 ):
     """Interior L2 convergence of the full CNS operator on periodic tri
-    meshes against a manufactured solution.  Returns
+    (``elem='tri'``), quad (``elem='quad'``) or 3D hex (``elem='hex'``)
+    meshes against a manufactured solution.  ``curved_map`` (e.g.
+    ``boundary_preserving_warp``) warps the mesh, exercising the
+    variable-geofac volume/BR1 paths and the wJq-weighted source
+    projection.  Returns
     {n: {"k1d": [...], "error": [...], "rates": [...]}}.
     """
     import time
 
-    from .core import build_discretization, ref_tri
-    from .mesh import uniform_tri_mesh
+    from .core import build_discretization, ref_hex, ref_quad, ref_tri
+    from .mesh import uniform_hex_mesh, uniform_quad_mesh, uniform_tri_mesh
 
-    u_fun = mms_solution_2d if u_fun is None else u_fun
-    source = make_mms_source(u_fun, 2, mu=mu, pr=pr, gamma=gamma)
+    dim = 3 if elem == "hex" else 2
+    if u_fun is None:
+        u_fun = mms_solution_3d if dim == 3 else mms_solution_2d
+    source = make_mms_source(u_fun, dim, mu=mu, pr=pr, gamma=gamma)
     inv_d, visc_d = dissipation
     results = {}
     for n in orders:
-        cn = (n + 1) * (n + 2) / 2
+        cn = ((n + 1) * (n + 2) * 3 / 2 if dim == 3
+              else (n + 1) * (n + 2) / 2)
         errors = []
         for k1d in k1ds:
-            vx, vy, etov = uniform_tri_mesh(k1d)
-            disc = build_discretization(ref_tri(n), (vx, vy), etov,
-                                        periodic_axes=(0, 1))
+            if elem == "hex":
+                vx, vy, vz, etov = uniform_hex_mesh(k1d)
+                ref, verts = ref_hex(n), (vx, vy, vz)
+            elif elem == "quad":
+                vx, vy, etov = uniform_quad_mesh(k1d)
+                ref, verts = ref_quad(n), (vx, vy)
+            else:
+                vx, vy, etov = uniform_tri_mesh(k1d)
+                ref, verts = ref_tri(n), (vx, vy)
+            disc = build_discretization(ref, verts, etov,
+                                        periodic_axes=tuple(range(dim)),
+                                        curved_map=curved_map)
             h = 2.0 / k1d
             dt = cfl * min(h / cn, h * h / (max(mu, 1e-30) * cn * cn))
             num_steps = max(1, int(np.ceil(t_end / dt)))

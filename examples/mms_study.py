@@ -1,5 +1,6 @@
-"""Manufactured-solution (MMS) convergence study for the full 2D CNS
-operator on periodic tri meshes.
+"""Manufactured-solution (MMS) convergence study for the full CNS
+operator on periodic tri (ELEM=tri, default) or 3D hex (ELEM=hex)
+meshes.
 
 Beyond-reference verification: the reference's exact-solution anchors
 are the 1D Becker profile and the cavity boundary-trace error; MMS
@@ -33,22 +34,27 @@ from esdg_cns_tpu.verification import mms_convergence_study  # noqa: E402
 
 
 def main():
+    elem = os.environ.get("ELEM", "tri")
     orders = tuple(
-        int(s) for s in os.environ.get("ORDERS", "2,3,4").split(","))
+        int(s) for s in os.environ.get(
+            "ORDERS", "2,3" if elem == "hex" else "2,3,4").split(","))
     k1ds = tuple(int(s) for s in os.environ.get("K1DS", "2,4,8").split(","))
     mu = env_float("MU", 0.05)
-    t_end = env_float("T", 0.1)
+    t_end = env_float("T", 0.05 if elem == "hex" else 0.1)
     out = os.environ.get("OUT", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "results",
-        "mms_rates_r04.json"))
+        "mms_rates_3d_r04.json" if elem == "hex" else "mms_rates_r04.json"))
 
     results = mms_convergence_study(
-        orders=orders, k1ds=k1ds, mu=mu, t_end=t_end, verbose=True)
+        orders=orders, k1ds=k1ds, mu=mu, t_end=t_end, elem=elem,
+        verbose=True)
 
     payload = {
-        "config": {"orders": list(orders), "k1ds": list(k1ds), "mu": mu,
+        "config": {"elem": elem, "orders": list(orders),
+                   "k1ds": list(k1ds), "mu": mu,
                    "pr": 0.71, "t_end": t_end, "dissipation": [True, True],
-                   "solution": "verification.mms_solution_2d",
+                   "solution": "verification.mms_solution_%dd"
+                   % (3 if elem == "hex" else 2),
                    "backend": jax.default_backend(),
                    "x64": jax.config.read("jax_enable_x64")},
         "results": {str(n): v for n, v in results.items()},
