@@ -573,6 +573,38 @@ def test_mms_curved_projection_reproduces_polynomials():
     assert float(jnp.max(jnp.abs(dq - u))) < 1e-11
 
 
+def test_tgv_results():
+    """The EXECUTED 3D Taylor-Green vortex artifact (round 4, TPU f32,
+    N=3, K=4096, Re=400, Ma=0.1, 20200 steps to t*=12): the classic
+    transition benchmark run on the full 3D CNS path, checked against
+    its exact conservation structure.
+
+    - KE starts at the analytic 1/8 and decays monotonically;
+    - total mass/momentum/energy drift stays at f32 roundoff
+      (periodic domain: conservation is exact for the scheme);
+    - entropy stability: rhstest < 0 at every logged step and the
+      viscous entropy production is positive;
+    - the dissipation rate rises to a single peak (measured 1.11e-2 at
+      t* = 6.3, the classic Re=400 neighborhood) well above its t*=0
+      value."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "tgv_r04.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert abs(d["ke"][0] - 0.125) < 1e-5
+    assert d["ke_monotone_decay"] is True
+    assert d["ke"][-1] < 0.5 * d["ke"][0]
+    assert all(dr < 1e-4 for dr in d["conservation_rel_drift"]), \
+        d["conservation_rel_drift"]
+    assert d["rhstest_max"] < 0.0
+    assert d["rhstest_visc_min"] > 0.0
+    assert 3.0 < d["peak"]["t_star"] < 11.0, d["peak"]
+    assert d["peak"]["eps"] > 3.0 * d["eps"][0]
+
+
 def test_mms_source_consistency():
     """Local truncation of the projected-source RHS on the interpolated
     exact state: resid = rhs(q_ex) + P(S) - du_ex/dt, measured in the
