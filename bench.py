@@ -26,9 +26,13 @@ HBM bytes per RHS (counting model documented in _roofline_* below),
 achieved GFLOP/s and GB/s, and the fraction of the roofline-implied
 minimum stage time actually attained (v5e peaks: 819 GB/s HBM;
 f32-equivalent MXU peak taken as bf16 197 TFLOP/s / 6 for the 6-pass
-HIGHEST-precision f32 matmuls this code requires, VPU-dominated
-pointwise work executes far below MXU peak so fraction_of_roofline is
-conservative).
+HIGHEST-precision f32 matmuls this code requires).  Two compute-leg
+conventions ride side by side: `fraction_of_roofline` prices ALL
+flops at the MXU peak (the conservative classic number), while
+`fraction_of_vpu_aware_roofline` prices the GEMM group at the MXU
+peak and the pointwise/flux-differencing group at the MEASURED f32
+VPU ceiling (examples/vpu_peak.py, ~1.5 TFLOP/s on this chip) — the
+honest achievable bound for these VPU-dominated kernels.
 
 DOF counts conservative unknowns (Nf x Np x K); one RK stage = one RHS
 evaluation inside the LSRK45 loop.  f32 on whatever jax.devices()
@@ -74,6 +78,13 @@ CNS_ROUND1 = 1.98e8     # first recorded CNS cavity number (PARITY.md);
 # v5e public peaks (see module docstring for the f32 convention)
 PEAK_HBM = 819e9                 # bytes/s
 PEAK_F32_FLOPS = 197e12 / 6.0    # 6-pass HIGHEST f32 matmul equivalent
+# measured f32 VPU ceiling on this chip (examples/vpu_peak.py: chained
+# independent FMAs on VMEM-resident blocks, slope-timed).  The
+# fraction_of_roofline field prices ALL flops at the MXU peak and so
+# undersells kernels whose flux-differencing/constitutive work is
+# pointwise VPU work; the vpu-aware fields price the GEMM and
+# pointwise flop groups at their own units' peaks.
+PEAK_VPU_F32 = 1.55e12   # measured 1.552 median / 0.1% spread (2026-08)
 
 
 def _time_steps(rhs, q0, steps):
@@ -174,7 +185,8 @@ def _roofline_euler_hex_fused(disc):
         + nfq * (80 + 20)                     # surface EC flux + LF
         + nf * np_ * 2                        # -1/J scale
     )
-    flops = k * (fd + gemms + pointwise)
+    mxu = k * gemms
+    vpu = k * (fd + pointwise)
 
     ntr = 7  # (rho, u1..3, beta, log rho, log beta) traces
     bytes_ = 4 * k * (
@@ -183,7 +195,7 @@ def _roofline_euler_hex_fused(disc):
         + (2 * ntr * nfq + 5 * nfq + np_ + nf * nq  # surface kernel reads
            + nf * nq)                               # + write dq
     )
-    return flops, bytes_
+    return mxu, vpu, bytes_
 
 
 def _roofline_cns_affine(disc):
@@ -232,7 +244,8 @@ def _roofline_cns_affine(disc):
         + dim * nq * (2 * dim + 2)   # gradient assembly
         + nf * np_ * 6
     )
-    flops = k * (fd + gemms + pointwise)
+    mxu = k * gemms
+    vpu = k * (fd + pointwise)
 
     ntr1 = 2 * nf + 2 + 1 + nf       # merged exchange rows (qm,uf,logs,lam,vuf)
     bytes_ = 4 * k * (
@@ -242,20 +255,32 @@ def _roofline_cns_affine(disc):
         + 2 * dim * nf * nq           # stresses materialized r/w
         + 2 * nf * front_rows         # front-end output r/w
     )
-    return flops, bytes_
+    return mxu, vpu, bytes_
 
 
 def _with_roofline(disc, elapsed_per_stage, model):
-    flops, bytes_ = model(disc)
+    mxu, vpu, bytes_ = model(disc)
+    flops = mxu + vpu
     t_min = max(flops / PEAK_F32_FLOPS, bytes_ / PEAK_HBM)
+    # vpu-aware compute leg: GEMMs at the MXU peak plus pointwise/flux-
+    # differencing work at the measured VPU ceiling.  The legs ADD
+    # because they are dependency-chained within a stage (entropy
+    # projection GEMM -> pointwise fluxes -> projection GEMM), i.e.
+    # this models no MXU/VPU overlap; HBM can overlap with both.
+    t_vpu = max(mxu / PEAK_F32_FLOPS + vpu / PEAK_VPU_F32,
+                bytes_ / PEAK_HBM)
     return {
         "flops_per_rhs": flops,
+        "mxu_flops_per_rhs": mxu,
+        "vpu_flops_per_rhs": vpu,
         "hbm_bytes_per_rhs": bytes_,
         "arith_intensity": flops / bytes_,
         "gflops_per_s": flops / elapsed_per_stage / 1e9,
         "hbm_gbytes_per_s": bytes_ / elapsed_per_stage / 1e9,
         "roofline_min_stage_s": t_min,
         "fraction_of_roofline": t_min / elapsed_per_stage,
+        "vpu_aware_min_stage_s": t_vpu,
+        "fraction_of_vpu_aware_roofline": t_vpu / elapsed_per_stage,
     }
 
 
