@@ -272,6 +272,15 @@ def make_mms_rhs(disc, rhs, source):
     return rhs_mms
 
 
+def mms_solution_1d(x, t, gamma: float = 1.4):
+    """A smooth space-periodic (period 2) manufactured 1D CNS state."""
+    rho = 1.0 + 0.2 * jnp.sin(jnp.pi * (x - 0.4 * t))
+    u = 0.25 + 0.1 * jnp.sin(jnp.pi * x) * jnp.cos(t)
+    p = 1.0 + 0.1 * jnp.cos(jnp.pi * x) * jnp.cos(2.0 * t)
+    e = p / (gamma - 1.0) + 0.5 * rho * u * u
+    return jnp.stack([rho, rho * u, e])
+
+
 def mms_solution_2d(x, y, t, gamma: float = 1.4):
     """A smooth space-periodic (period 2) manufactured 2D CNS state."""
     rho = 1.0 + 0.2 * jnp.sin(jnp.pi * (x - 0.5 * t)) \
@@ -331,9 +340,10 @@ def mms_convergence_study(
     output_path: str | None = None,
     verbose: bool = False,
 ):
-    """Interior L2 convergence of the full CNS operator on periodic tri
-    (``elem='tri'``), quad (``elem='quad'``) or 3D hex (``elem='hex'``)
-    meshes against a manufactured solution.  ``curved_map`` (e.g.
+    """Interior L2 convergence of the full CNS operator on periodic
+    line (``elem='line'``), tri (``elem='tri'``), quad
+    (``elem='quad'``) or 3D hex (``elem='hex'``) meshes against a
+    manufactured solution.  ``curved_map`` (e.g.
     ``boundary_preserving_warp``) warps the mesh, exercising the
     variable-geofac volume/BR1 paths and the wJq-weighted source
     projection.  Returns
@@ -341,12 +351,14 @@ def mms_convergence_study(
     """
     import time
 
-    from .core import build_discretization, ref_hex, ref_quad, ref_tri
-    from .mesh import uniform_hex_mesh, uniform_quad_mesh, uniform_tri_mesh
+    from .core import build_discretization, ref_hex, ref_line, ref_quad, ref_tri
+    from .mesh import (uniform_hex_mesh, uniform_line_mesh,
+                       uniform_quad_mesh, uniform_tri_mesh)
 
-    dim = 3 if elem == "hex" else 2
+    dim = {"hex": 3, "line": 1}.get(elem, 2)
     if u_fun is None:
-        u_fun = mms_solution_3d if dim == 3 else mms_solution_2d
+        u_fun = {1: mms_solution_1d, 2: mms_solution_2d,
+                 3: mms_solution_3d}[dim]
     source = make_mms_source(u_fun, dim, mu=mu, pr=pr, gamma=gamma)
     inv_d, visc_d = dissipation
     results = {}
@@ -358,6 +370,9 @@ def mms_convergence_study(
             if elem == "hex":
                 vx, vy, vz, etov = uniform_hex_mesh(k1d)
                 ref, verts = ref_hex(n), (vx, vy, vz)
+            elif elem == "line":
+                vx, etov = uniform_line_mesh(k1d)
+                ref, verts = ref_line(n), (vx,)
             elif elem == "quad":
                 vx, vy, etov = uniform_quad_mesh(k1d)
                 ref, verts = ref_quad(n), (vx, vy)

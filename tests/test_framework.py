@@ -544,6 +544,19 @@ def test_mms_curved_quad_smoke():
     assert res[2]["rates"][0] > 1.5, res[2]["rates"]
 
 
+def test_mms_line_smoke():
+    """Live 1D MMS: the elem='line' leg of the study converges on the
+    full 1D CNS operator (measured rates 3.2 / 2.7 over 4->8->16 at
+    N=2; the pair here is the cheap coarse one)."""
+    from esdg_cns_tpu.verification import mms_convergence_study
+
+    res = mms_convergence_study(orders=(2,), k1ds=(4, 8), elem="line",
+                                t_end=0.05)
+    errs = res[2]["error"]
+    assert errs[0] < 0.01, errs
+    assert res[2]["rates"][0] > 2.0, res[2]["rates"]
+
+
 def test_mms_curved_projection_reproduces_polynomials():
     """The curved-mesh weighted projection in make_mms_rhs is a true
     L2 projection: applied to a source that IS a nodal polynomial
