@@ -35,23 +35,37 @@ from esdg_cns_tpu.verification import mms_convergence_study  # noqa: E402
 
 def main():
     elem = os.environ.get("ELEM", "tri")
+    curved = os.environ.get("CURVED", "0") == "1"
+    alpha = env_float("ALPHA", 0.1)
     orders = tuple(
         int(s) for s in os.environ.get(
             "ORDERS", "2,3" if elem == "hex" else "2,3,4").split(","))
     k1ds = tuple(int(s) for s in os.environ.get("K1DS", "2,4,8").split(","))
     mu = env_float("MU", 0.05)
     t_end = env_float("T", 0.05 if elem == "hex" else 0.1)
+    default_out = ("mms_rates_3d_r04.json" if elem == "hex"
+                   else "mms_rates_r04.json")
+    if curved:
+        default_out = default_out.replace(".json", "_curved.json")
     out = os.environ.get("OUT", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "results",
-        "mms_rates_3d_r04.json" if elem == "hex" else "mms_rates_r04.json"))
+        default_out))
+
+    curved_map = None
+    if curved:
+        from functools import partial
+
+        from esdg_cns_tpu.verification import boundary_preserving_warp
+        curved_map = partial(boundary_preserving_warp, alpha=alpha)
 
     results = mms_convergence_study(
         orders=orders, k1ds=k1ds, mu=mu, t_end=t_end, elem=elem,
-        verbose=True)
+        curved_map=curved_map, verbose=True)
 
     payload = {
         "config": {"elem": elem, "orders": list(orders),
                    "k1ds": list(k1ds), "mu": mu,
+                   "curved": curved, "alpha": alpha if curved else None,
                    "pr": 0.71, "t_end": t_end, "dissipation": [True, True],
                    "solution": "verification.mms_solution_%dd"
                    % (3 if elem == "hex" else 2),
