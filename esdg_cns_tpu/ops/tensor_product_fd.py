@@ -124,10 +124,13 @@ def flux_differencing_lines(qh, qlog, geo, gamma, *, elem_type: str,
     dim = 3 if elem_type == "hex" else 2
     n1d = line_ops.n1d
     nfp = (nh - nq) // (2 * dim)
-    s1 = np.asarray(line_ops.s1)
-    em = np.asarray(line_ops.e_minus)
-    ep = np.asarray(line_ops.e_plus)
-    w1 = np.asarray(line_ops.w1)
+    # cast host-side f64 operator constants to the state dtype: numpy
+    # f64 * jnp f32 promotes the whole accumulation to f64 when x64 is
+    # enabled (the perm-form below casts at its jnp.asarray boundaries)
+    s1 = np.asarray(line_ops.s1, dtype=qh.dtype)
+    em = np.asarray(line_ops.e_minus, dtype=qh.dtype)
+    ep = np.asarray(line_ops.e_plus, dtype=qh.dtype)
+    w1 = np.asarray(line_ops.w1, dtype=qh.dtype)
     curved = geo.shape[1] != 1
     faces = _face_table(elem_type, n1d, dim)
 

@@ -115,8 +115,10 @@ class BeckerShock:
         import jax.numpy as jnp
 
         cv = 1.0 / (self.gamma - 1)
-        lk = self.kappa / self.m_0 / cv
-        v0, v1 = self.v_0, self.v_1
+        # float(): np.float64 scalars are strong-typed under x64 and
+        # would promote an f32 trace; python floats stay weak
+        lk = float(self.kappa / self.m_0 / cv)
+        v0, v1 = float(self.v_0), float(self.v_1)
         a = v0 / (v0 - v1)
         b = v1 / (v0 - v1)
         xi = jnp.asarray(xi)
@@ -143,10 +145,11 @@ class BeckerShock:
         """Traceable exact state (stacked [3, ...])."""
         import jax.numpy as jnp
 
-        u = self.velocity_jax(jnp.asarray(x) - self.v_inf * t)
-        rho = self.m_0 / u
+        u = self.velocity_jax(jnp.asarray(x) - float(self.v_inf) * t)
+        rho = float(self.m_0) / u
         e = 1.0 / (2 * self.gamma) * (
-            (self.gamma + 1) / (self.gamma - 1) * self.v_01**2 - u**2
+            (self.gamma + 1) / (self.gamma - 1) * float(self.v_01) ** 2
+            - u**2
         )
-        vel = self.v_inf + u
+        vel = float(self.v_inf) + u
         return jnp.stack([rho, rho * vel, rho * (e + 0.5 * vel**2)], axis=0)
