@@ -306,3 +306,30 @@ def test_lines_perm_matches_lines_curved_and_quad():
                           compute_rhstest=False)(q)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_f32_state_stays_f32_under_x64():
+    """Dtype-stability contract: with x64 enabled (the test default),
+    an f32 state through the lines/xla RHS paths must produce an f32
+    dq — host-side f64 operator constants must not promote the
+    accumulation (regression: numpy f64 line-operator constants
+    promoted the whole lines path, breaking f32 runs under lax.scan).
+    Also covers the BeckerShock traceable BC path (np.float64 scalar
+    properties must stay weak)."""
+    from esdg_cns_tpu.presets import becker_shocktube_1d, euler_hex_3d
+    from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
+
+    disc, q0 = euler_hex_3d(n=1, k1d=2, dtype=jnp.float32)
+    assert q0.dtype == jnp.float32
+    for impl in ("xla", "lines", "lines_perm"):
+        rhs = make_euler_rhs(disc, dissipation=True, flux_diff_impl=impl,
+                             compute_rhstest=False)
+        dq, _ = rhs(q0, 0.0)
+        assert dq.dtype == jnp.float32, impl
+
+    disc1, q1, bc, shock = becker_shocktube_1d(n=2, k=8,
+                                               dtype=jnp.float32)
+    rhs = make_cns_rhs(disc1, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True, compute_rhstest=False)
+    dq, _ = rhs(q1, 0.5)  # t>0 exercises the time-dependent exact BC
+    assert dq.dtype == jnp.float32
