@@ -12,9 +12,12 @@ Configs (BENCH_CONFIG):
   all (default)  — run all four; the p=3 Euler number is the primary
                    metric, the rest ride in "extras".
 
-Prints ONE JSON line:
+Prints the full JSON result line:
   {"metric": "dof_rk_stage_per_s", "value": ..., "unit": "DOF*stage/s",
    "vs_baseline": value / 1e9, "extras": {...}}
+followed by a compact (<1.5 kB) summary as the LAST stdout line so a
+tail-truncating capture still gets a parseable headline (the round-4
+driver artifact lost the primary median to a 2000-char tail).
 
 "value" is the MEDIAN over BENCH_REPS (default 7) timing repeats;
 "best" and "spread_pct" make the run-to-run noise visible in the
@@ -413,6 +416,35 @@ def bench_cns_cavity_3d():
     return out
 
 
+def _compact_summary(out):
+    """Small (<1.5 kB) summary of the full result line.
+
+    The round-4 driver artifact (BENCH_r04.json) came back `parsed: null`
+    because the full line is ~4.3 kB and the driver keeps only a 2000-char
+    stdout tail — the primary euler N=3 median was truncated away.  The
+    LAST stdout line must therefore be a complete, compact JSON object
+    carrying the headline: primary median/best/spread + per-extra medians
+    only (rooflines and stat detail stay on the full line above).
+    """
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out.get("vs_baseline"),
+        "best": out.get("best"),
+        "spread_pct": out.get("spread_pct"),
+        "reps": out.get("reps"),
+    }
+    extras = out.get("extras")
+    if extras is not None:
+        c["extras"] = {
+            name: ({"value": r.get("value"), "vs_baseline": r.get("vs_baseline")}
+                   if "error" not in r else {"error": str(r["error"])[:120]})
+            for name, r in extras.items()
+        }
+    return c
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "all")
     runners = {
@@ -425,6 +457,7 @@ def main():
         r = runners[config]()
         r["vs_baseline"] = r["value"] / r.pop("baseline")
         print(json.dumps(r))
+        print(json.dumps(_compact_summary(r)))
         return
     # default: all three; Euler is the primary metric
     primary = bench_euler_hex()
@@ -448,6 +481,8 @@ def main():
         "extras": extras,
     }
     print(json.dumps(out))
+    # LAST line: compact summary the driver's tail-capture can always parse
+    print(json.dumps(_compact_summary(out)))
 
 
 if __name__ == "__main__":

@@ -96,14 +96,24 @@ def run_euler_hex(args):
     run = jax.jit(lambda q: lsrk45(rhs, q, jnp.asarray(dt, q0.dtype),
                                    nsteps)[0])
     qf = run(q0)
-    qf.block_until_ready()
-    t0 = time.perf_counter()
-    qf = run(q0)
-    qf.block_until_ready()
-    el = time.perf_counter() - t0
+    float(qf[0].ravel()[0])  # force real sync (block_until_ready can
+    #                          return early through the remote tunnel)
+    # Identical (program, args) calls are deduped/replayed through the
+    # remote-execute tunnel, so each repeat gets a distinct input; median
+    # of 3 reps.  Still an indicative number — bench.py (>=50 stages/call,
+    # 7 reps) is the measurement of record.
+    times = []
+    for i in range(3):
+        qi = q0 * (1.0 + 1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        qf = run(qi)
+        float(qf[0].ravel()[0])
+        times.append(time.perf_counter() - t0)
+    el = sorted(times)[len(times) // 2]
     dof = 5 * disc.np_ * disc.num_elements
     print(f"{nsteps} LSRK45 steps to T={args.t_end} in {el:.3f}s -> "
-          f"{dof * 5 * nsteps / el / 1e9:.3f} GDOF*stage/s")
+          f"{dof * 5 * nsteps / el / 1e9:.3f} GDOF*stage/s "
+          f"(median of 3; indicative — use bench.py for measurement)")
     _write_outputs(args, disc, qf)
 
 
@@ -195,11 +205,13 @@ def _run_shocktube(args, dim: int):
         uex = [u1d[0].reshape(sh), u1d[1].reshape(sh),
                np.zeros(sh), u1d[2].reshape(sh)]
         comp = [0, 1, 3]
+    # reference normalizations (dg1D_CNS_modalESDG.jl:497-512): L1/L2
+    # divide by the NUMERICAL solution's norm, Linf by the exact's
     w = np.asarray(disc.wjq)
     l1 = sum(np.sum(w * np.abs(uq[f] - uex[f]))
-             / np.sum(w * np.abs(uex[f])) for f in comp)
+             / np.sum(w * np.abs(uq[f])) for f in comp)
     l2 = sum(np.sqrt(np.sum(w * (uq[f] - uex[f]) ** 2))
-             / np.sqrt(np.sum(w * uex[f] ** 2)) for f in comp)
+             / np.sqrt(np.sum(w * uq[f] ** 2)) for f in comp)
     linf = sum(np.abs(uq[f] - uex[f]).max()
                / np.abs(uex[f]).max() for f in comp)
     print(f"L1 error is {l1:.6e}")
@@ -265,7 +277,7 @@ def build_parser():
 
     sub.add_parser("info", parents=[common],
                    help="platform / device summary")
-    sub.add_parser("list", help="list workloads")
+    sub.add_parser("list", parents=[common], help="list workloads")
 
     r = sub.add_parser("run", parents=[common], help="run a workload")
     r.add_argument("workload", choices=sorted(WORKLOADS))
