@@ -358,11 +358,13 @@ def bench_cns_cavity():
         impl = os.environ.get("BENCH_FD_IMPL", "xla")
         volume_impl = os.environ.get("BENCH_VOLUME_IMPL", "xla")
 
+    surface_impl = os.environ.get("BENCH_SURFACE_IMPL", "auto")
     disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
         inviscid_dissipation=True, viscous_dissipation=True,
         flux_diff_impl=impl, volume_impl=volume_impl,
+        surface_impl=surface_impl,
         compute_rhstest=False,
     )
     times = _time_steps(rhs, q0, steps)
@@ -398,6 +400,7 @@ def bench_cns_cavity_3d():
     rhs = make_cns_rhs_affine(
         disc, mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
         inviscid_dissipation=True, viscous_dissipation=True,
+        surface_impl=os.environ.get("BENCH_SURFACE_IMPL", "auto"),
         **({"flux_diff_impl": volume_impl} if volume_impl.startswith("lines")
            else {"volume_impl": volume_impl, "interpret": on_cpu}),
         compute_rhstest=False,

@@ -41,25 +41,16 @@ from .pallas_volume import _VMEM_LIMIT
 from .pallas_volume import dot_highest as _dot
 
 
-def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
-                    front_ref, vqlift_ref, ef_ref, drpq_ref,
-                    *rest, dim, nq, gamma, mu, lam, pr, proj, contract):
-    nf = dim + 2
-    if proj:
-        sf_ref, div_ref, prod_ref, vuq_ref = rest
-    else:
-        sf_ref, div_ref, prod_ref = rest
+def _viscous_body(vu, dv, geo, nxj, invj, wjq, front, vqlift, ef, drpq,
+                  sf_ref, div_ref, prod_ref, vuq_ref, *,
+                  dim, nq, gamma, mu, lam, pr, proj, contract):
+    """Shared viscous mid-section compute on VMEM values.
 
-    vu = vu_ref[...]          # [Nf, Nq, KB] raw v(U) at quadrature
-    dv = dv_ref[...]          # [Nf, Nfq, KB] BC-adjusted entropy jumps
-    geo = geo_ref[...]        # [dim*dim, 1, KB] affine metric scalars
-    nxj = nxj_ref[...]        # [dim, Nfq, KB]
-    invj = invj_ref[...]      # [1, KB]
-    wjq = wjq_ref[...]        # [Nq, KB]
-    front = front_ref[...]    # [(proj+dim)Nq, Nq]
-    vqlift = vqlift_ref[...]  # [Nq, Nfq]
-    ef = ef_ref[...]          # [Nfq, Nq]
-    drpq = drpq_ref[...]      # [dim, Np, Nq]
+    `vu` [Nf, Nq, KB], `dv` [Nf, Nfq, KB], `nxj` a list of dim
+    [Nfq, KB] rows; writes the stress-trace / divergence / production
+    (/ projected-entropy) output refs.  Used by both the standalone
+    mid-section kernel and the merged surface+viscous kernel."""
+    nf = dim + 2
 
     # ---- 1: front GEMM.  proj (modal/tri): rows = [Vq Pq; Vq D_r Pq]
     # — projected entropy vars + reference gradients; collocated hex
@@ -135,6 +126,253 @@ def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
                            keepdims=True)
             prod = term if prod is None else prod + term
     prod_ref[...] = prod
+
+
+def _viscous_kernel(vu_ref, dv_ref, geo_ref, nxj_ref, invj_ref, wjq_ref,
+                    front_ref, vqlift_ref, ef_ref, drpq_ref,
+                    *rest, dim, nq, gamma, mu, lam, pr, proj, contract):
+    if proj:
+        sf_ref, div_ref, prod_ref, vuq_ref = rest
+    else:
+        sf_ref, div_ref, prod_ref = rest
+        vuq_ref = None
+
+    vu = vu_ref[...]          # [Nf, Nq, KB] raw v(U) at quadrature
+    dv = dv_ref[...]          # [Nf, Nfq, KB] BC-adjusted entropy jumps
+    nxj = [nxj_ref[d] for d in range(dim)]
+    _viscous_body(
+        vu, dv, geo_ref[...], nxj, invj_ref[...], wjq_ref[...],
+        front_ref[...], vqlift_ref[...], ef_ref[...], drpq_ref[...],
+        sf_ref, div_ref, prod_ref, vuq_ref,
+        dim=dim, nq=nq, gamma=gamma, mu=mu, lam=lam, pr=pr, proj=proj,
+        contract=contract,
+    )
+
+
+def _surface_viscous_kernel(vu_ref, qm_ref, logm_ref, nbr_ref, nxj_ref,
+                            sj2_ref, pool_ref, geo_ref, invj_ref, wjq_ref,
+                            front_ref, vqlift_ref, ef_ref, drpq_ref,
+                            *rest, dim, nq, gamma, mu, lam, pr, re, proj,
+                            contract, dissipation, with_penalty, recipe):
+    """Merged surface + viscous kernel body.
+
+    Extends _viscous_body with the post-exchange surface section
+    (ops.pallas_cns_surface semantics): the local conservative /
+    entropy traces (uf, vuf) and the entropy jump dv are computed
+    IN-kernel from the [qm | logs] payload, so they never touch HBM,
+    and the whole BC-ghost / EC-flux / LF / entropy-BC / penalty
+    section stops paying XLA per-launch latency (round-4 profile:
+    +0.167 ms of glue around 0.004 ms of exchange)."""
+    from ..physics import euler as phys
+    from ..solvers._shared import (entropy_vars_from_flux,
+                                   flux_to_conservative,
+                                   viscous_penalty_rows)
+    from .pallas_cns_surface import _DiscShim, rebuild_surface_bc
+
+    nf = dim + 2
+    it = iter(rest)
+    flux_ref = next(it)
+    pen_ref = next(it) if with_penalty else None
+    sf_ref, div_ref, prod_ref = next(it), next(it), next(it)
+    vuq_ref = next(it) if proj else None
+
+    vu = vu_ref[...]          # [Nf, Nq, KB] raw v(U) at quadrature
+    qm = qm_ref[...]          # [Nf, Nfq, KB] flux-variable traces
+    qm_log = logm_ref[...]    # [2, Nfq, KB]
+    nbr = nbr_ref[...]        # [Nf+2, Nfq, KB] gathered (qp | qp_log)
+    nxj = [nxj_ref[d] for d in range(dim)]
+    sj, inv_sj = sj2_ref[0], sj2_ref[1]
+    disc = _DiscShim(dim)
+
+    # local traces rebuilt pointwise (uf / vuf never materialized)
+    uf = flux_to_conservative(qm, gamma)
+    vuf = entropy_vars_from_flux(qm, qm_log, gamma)
+
+    qp = nbr[:nf]
+    qp_log = nbr[nf:nf + 2]
+    vup = entropy_vars_from_flux(qp, qp_log, gamma)
+
+    bc = adiab = None
+    if recipe is not None:
+        bc, adiab = rebuild_surface_bc(pool_ref[...], recipe, dim, nf)
+
+    # ---- inviscid surface (mirrors solvers._shared.inviscid_surface) ----
+    up = flux_to_conservative(qp, gamma) if (dissipation or bc is not None) \
+        else None
+    if bc is not None:
+        qp, up = bc.inviscid(disc, qm, qp, uf, up, 0.0)
+        fs = phys.ec_flux(qm, qp, qm_log, None, gamma=gamma)
+    else:
+        fs = phys.ec_flux(qm, qp, qm_log, qp_log, gamma=gamma)
+    flux = sum(f * n[None] for f, n in zip(fs, nxj))
+    if dissipation:
+        def lam_w(u):
+            rhoun = sum(u[1 + d] * nxj[d] for d in range(dim))
+            return phys.wavespeed(u[0], rhoun * inv_sj, u[nf - 1], gamma)
+
+        lfc = 0.25 * jnp.maximum(lam_w(uf), lam_w(up)) * sj
+        flux = flux - lfc[None] * (up - uf)
+    flux_ref[...] = flux
+
+    # ---- entropy-variable BC + BR1 jump ----
+    if bc is not None:
+        vup = bc.entropy_vars(disc, vuf, vup, 0.0)
+    dv = vup - vuf
+
+    # ---- interface penalty rows ----
+    if with_penalty:
+        pen_ref[...] = viscous_penalty_rows(disc, bc, adiab, vuf, vup,
+                                            dv, re)
+
+    # ---- the whole viscous mid-section on the in-VMEM dv ----
+    _viscous_body(
+        vu, dv, geo_ref[...], nxj, invj_ref[...], wjq_ref[...],
+        front_ref[...], vqlift_ref[...], ef_ref[...], drpq_ref[...],
+        sf_ref, div_ref, prod_ref, vuq_ref,
+        dim=dim, nq=nq, gamma=gamma, mu=mu, lam=lam, pr=pr, proj=proj,
+        contract=contract,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gamma", "mu", "lam", "pr", "re", "nq", "block_k",
+                     "interpret", "proj", "contract", "dissipation",
+                     "with_penalty", "recipe"),
+)
+def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
+                               pool, geo, inv_j, wjq, front, vqlift, ef,
+                               drpq, *, gamma, mu, lam, pr, re, nq,
+                               dissipation, with_penalty, recipe=None,
+                               block_k: int = 1024,
+                               interpret: bool = False,
+                               proj: bool = True, contract: bool = True):
+    """ONE kernel for the post-exchange surface stage AND the viscous
+    mid-section of the affine CNS path.
+
+    Combines ops.pallas_cns_surface (BC ghosts, EC face flux + LF,
+    entropy-variable BC, interface penalty) with cns_viscous_pallas
+    (front GEMM, gradients, K(v), stress traces, divergence,
+    production partials).  Beyond the launch-count reduction, the
+    intermediates uf / vuf / vup / dv exist only in VMEM.
+
+    Args mirror the two source wrappers: vu_q [Nf, Nq, K]; qm
+    [Nf, Nfq, K] + qm_log [2, Nfq, K] local flux-variable traces;
+    nbr [Nf+2, Nfq, K] gathered (qp | qp_log); nxj a list of dim
+    [Nfq, K]; sj / inv_sj [Nfq, K]; pool [L, Nfq, K] + recipe from
+    pallas_cns_surface.prepare_surface_bc (Dirichlet evaluations
+    already concatenated); geo [dim*dim, 1, K]; inv_j [1, K]; wjq
+    [Nq, K]; front / vqlift / ef / drpq the composed operators.
+
+    Returns (flux, pen, t_f, div, prod, vuq); pen is None when
+    with_penalty=False, vuq is the input vu_q when proj=False.
+    """
+    nf, _, k = vu_q.shape
+    dim = nf - 2
+    nfq = qm.shape[1]
+    np_ = drpq.shape[1]
+
+    kb = min(block_k, k)
+    pad = (-k) % kb
+    if pad:
+        # padded lanes must stay finite through K(v)'s 1/ve^3, the EC
+        # flux's logmeans and the penalty's 1/v4: quiescent states
+        vu_pad = jnp.zeros((nf,), vu_q.dtype).at[-1].set(-1.0)
+        vu_q = jnp.concatenate(
+            [vu_q,
+             jnp.broadcast_to(vu_pad[:, None, None],
+                              (nf, vu_q.shape[1], pad))], axis=-1)
+
+        def pad_k(a, fills):
+            cols = []
+            for i in range(a.shape[0]):
+                f = fills[i] if isinstance(fills, (list, tuple)) else fills
+                cols.append(jnp.full((1, a.shape[1], pad), f, a.dtype))
+            return jnp.concatenate([a, jnp.concatenate(cols, 0)], axis=-1)
+
+        quies_q = [1.0] + [0.0] * dim + [1.0]       # rho=1, u=0, beta=1
+        qm = pad_k(qm, quies_q)
+        qm_log = pad_k(qm_log, 0.0)
+        nbr = pad_k(nbr, quies_q + [0.0, 0.0])
+        nxj = [jnp.pad(n, ((0, 0), (0, pad))) for n in nxj]
+        sj = jnp.pad(sj, ((0, 0), (0, pad)), constant_values=1.0)
+        inv_sj = jnp.pad(inv_sj, ((0, 0), (0, pad)), constant_values=1.0)
+        if pool is not None:
+            pool = jnp.pad(pool, ((0, 0), (0, 0), (0, pad)))
+        geo = jnp.pad(geo, ((0, 0), (0, 0), (0, pad)))
+        inv_j = jnp.pad(inv_j, ((0, 0), (0, pad)))
+        wjq = jnp.pad(wjq, ((0, 0), (0, pad)))
+    kp = k + pad
+
+    nxj_s = jnp.stack(nxj)
+    sj2 = jnp.stack([sj, inv_sj])
+    if pool is None:
+        pool = jnp.zeros((1, nfq, kp), qm.dtype)
+        recipe = None
+
+    kernel = functools.partial(
+        _surface_viscous_kernel, dim=dim, nq=nq, gamma=gamma, mu=mu,
+        lam=lam, pr=pr, re=re, proj=proj, contract=contract,
+        dissipation=dissipation, with_penalty=with_penalty, recipe=recipe,
+    )
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * (len(shape) - 1) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    sf_rows = nf if contract else dim * nf
+    out_specs = [blk(nf, nfq, kb)]                   # flux
+    out_shape = [jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype)]
+    if with_penalty:
+        out_specs.append(blk(nf, nfq, kb))           # pen
+        out_shape.append(jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype))
+    out_specs += [
+        blk(sf_rows, nfq, kb),
+        blk(nf, np_, kb),
+        blk(1, kb),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((sf_rows, nfq, kp), vu_q.dtype),
+        jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype),
+        jax.ShapeDtypeStruct((1, kp), vu_q.dtype),
+    ]
+    if proj:
+        out_specs.append(blk(nf, nq, kb))
+        out_shape.append(jax.ShapeDtypeStruct((nf, nq, kp), vu_q.dtype))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(kp // kb,),
+        in_specs=[
+            blk(nf, vu_q.shape[1], kb),
+            blk(nf, nfq, kb),
+            blk(2, nfq, kb),
+            blk(nf + 2, nfq, kb),
+            blk(dim, nfq, kb),
+            blk(2, nfq, kb),
+            blk(pool.shape[0], nfq, kb),
+            blk(geo.shape[0], 1, kb),
+            blk(1, kb),
+            blk(wjq.shape[0], kb),
+            rep(front.shape),
+            rep(vqlift.shape),
+            rep(ef.shape),
+            rep(drpq.shape),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(vu_q, qm, qm_log, nbr, nxj_s, sj2, pool, geo, inv_j, wjq,
+      front, vqlift, ef, drpq)
+    it = iter(outs)
+    flux = next(it)[:, :, :k]
+    pen = next(it)[:, :, :k] if with_penalty else None
+    s_f = next(it)[:, :, :k]
+    div = next(it)[:, :, :k]
+    prod = next(it)[:, :k]
+    vuq = next(it)[:, :, :k] if proj else vu_q[:, :, :k]
+    return flux, pen, s_f, div, prod, vuq
 
 
 @functools.partial(

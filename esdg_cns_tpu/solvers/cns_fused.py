@@ -95,6 +95,11 @@ def make_cns_rhs_affine(
       'auto' — 'fused' whenever its requirements hold.
 
     surface_impl:
+      'merged' — the surface section AND the viscous mid-section run
+        as ONE Pallas kernel (ops.pallas_viscous.
+        cns_surface_viscous_pallas): beyond removing the surface
+        section's XLA launches, uf / vuf / vup / dv exist only in
+        VMEM (requires the fused-viscous prerequisites).
       'fused' — the whole post-exchange surface section (inviscid BC
         ghosts, EC face flux + LF, entropy-variable BC + BR1 jump,
         interface-penalty rows) runs as ONE Pallas kernel
@@ -104,7 +109,7 @@ def make_cns_rhs_affine(
         construction: the kernel rebuilds the WallBC pytree from its
         inputs and calls the same hooks.
       'xla'  — the jnp path (solvers._shared.inviscid_surface).
-      'auto' — 'fused' whenever volume_impl is a fused kernel path.
+      'auto' — the XLA surface (pending the round-5 merged-kernel A/B).
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -183,19 +188,29 @@ def make_cns_rhs_affine(
                          or (viscous_impl == "auto" and fused_visc_ok))
     if viscous_impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
-    if surface_impl not in ("auto", "fused", "xla"):
+    if surface_impl not in ("auto", "fused", "merged", "xla"):
         raise ValueError(f"unknown surface_impl: {surface_impl!r}")
-    # auto: XLA everywhere.  The fused surface kernel briefly won on
-    # the aligned hex path (1.22e9 fused vs 1.16e9 XLA, pre-contracted
-    # exchange), but the contracted stress exchange shrank the XLA
-    # tail enough to flip it back: 3D collocated hex cavity 1.75e9
-    # fused vs 2.03e9 XLA DOF*stage/s; 2D tri cavity 1.05e9 fused vs
-    # 1.26e9 XLA (one v5e chip, 60-step LSRK45 A/B, median of 7).  The
-    # kernel stays available via surface_impl='fused'.
+    # auto: XLA everywhere.  The STANDALONE fused surface kernel lost
+    # its A/B once the contracted stress exchange shrank the XLA tail
+    # (3D hex cavity 1.75e9 fused vs 2.03e9 XLA; 2D tri cavity 1.05e9
+    # fused vs 1.26e9 XLA — one v5e chip, 60-step LSRK45, median of
+    # 7); it stays available via surface_impl='fused'.  The MERGED
+    # surface+viscous kernel (round 5) is selected explicitly with
+    # surface_impl='merged'.
+    use_merged_surface = surface_impl == "merged"
+    if use_merged_surface and not fused_visc_ok:
+        raise ValueError(
+            "surface_impl='merged' requires volume_impl in "
+            "('fused', 'fused_hex') and rhstest_mode='native'")
+    if use_merged_surface and viscous_impl == "xla":
+        raise ValueError("surface_impl='merged' subsumes the viscous "
+                         "mid-section; viscous_impl='xla' conflicts")
     use_fused_surface = surface_impl == "fused"
-    if use_fused_surface:
-        from ..ops.pallas_cns_surface import (cns_surface_pallas,
-                                              prepare_surface_bc)
+    if use_fused_surface or use_merged_surface:
+        from ..ops.pallas_cns_surface import prepare_surface_bc
+
+        if use_fused_surface:
+            from ..ops.pallas_cns_surface import cns_surface_pallas
 
         surf_pool, surf_recipe, surf_evals = prepare_surface_bc(
             bc, adiab, dim)
@@ -309,7 +324,30 @@ def make_cns_rhs_affine(
         qm, uf, qm_log, vuf, vuq, vqd, ph_qf = front_fn(q)
 
         # ---- ONE merged exchange (inviscid + entropy traces) + surface --
-        if use_fused_surface:
+        if use_merged_surface:
+            # surface + viscous mid-section in ONE kernel: the gather
+            # stays XLA (cross-element data movement); uf / vuf / vup /
+            # dv are recomputed or kept in VMEM (the XLA uf/vuf above
+            # are dead code here and eliminated)
+            from ..ops.pallas_viscous import cns_surface_viscous_pallas
+
+            nbr = gather(jnp.concatenate([qm, qm_log], axis=0))
+            pool = surf_pool
+            if surf_evals:
+                pool = jnp.concatenate(
+                    [surf_pool] + [e(t) for e in surf_evals], axis=0)
+            flux, pen, t_f, div, prod, vuq = cns_surface_viscous_pallas(
+                vuq, qm, qm_log, nbr, list(disc.nxj), disc.sj,
+                disc.inv_sj, pool, geo, inv_j, disc.wjq, front_visc,
+                vqlift, disc.vhp[nq:], drpq_stack,
+                gamma=gamma, mu=mu, lam=lam, pr=pr, re=re, nq=nq,
+                dissipation=inviscid_dissipation,
+                with_penalty=viscous_dissipation, recipe=surf_recipe,
+                proj=visc_proj, contract=True, interpret=interpret,
+                **({} if block_k is None else {"block_k": block_k}),
+            )
+            rhstest_visc = jnp.sum(prod)
+        elif use_fused_surface:
             # fused post-exchange surface: the gather stays XLA (it is
             # the cross-element data movement); BC ghosts, EC face
             # flux + LF, entropy-variable BC and penalty rows run in
@@ -341,7 +379,9 @@ def make_cns_rhs_affine(
             if bc is not None:
                 vup = bc.entropy_vars(disc, vuf, vup, t)
             dv = vup - vuf
-        if use_fused_viscous:
+        if use_merged_surface:
+            pass                      # viscous section ran in the kernel
+        elif use_fused_viscous:
             # ONE Pallas kernel: front GEMM, gradients, K(v), stress
             # traces, divergence and the entropy-production partials
             # (ops.pallas_viscous); `vuq` from front_fn is the raw
@@ -409,7 +449,7 @@ def make_cns_rhs_affine(
             # like the reference (cavity_optimized:840-846), the lifted
             # penalty is added AFTER the 1/J scaling of dg_div
             lift_in.append(
-                pen if use_fused_surface
+                pen if (use_fused_surface or use_merged_surface)
                 else viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, re)
             )
 

@@ -152,7 +152,9 @@ def test_affine_entropy_stability_cavity():
                                   "padded"])
 def test_fused_surface_matches_xla(case):
     """surface_impl='fused' (ops.pallas_cns_surface: BC ghosts, EC face
-    flux + LF, entropy-variable BC, penalty rows in ONE kernel) == the
+    flux + LF, entropy-variable BC, penalty rows in ONE kernel) and
+    surface_impl='merged' (that section + the viscous mid-section in
+    ONE kernel, ops.pallas_viscous.cns_surface_viscous_pallas) == the
     XLA surface section, to roundoff, across every BC shape: the three
     wall kinds, an ARRAY lid profile (u_wall rows ride the kernel
     pool), time-dependent Dirichlet ghosts (pre-evaluated outside the
@@ -188,18 +190,19 @@ def test_fused_surface_matches_xla(case):
     flags = dict(bc=bc, inviscid_dissipation=True,
                  viscous_dissipation=True, **kw)
     out = {}
-    for simpl in ("xla", "fused"):
+    for simpl in ("xla", "fused", "merged"):
         rhs = make_cns_rhs_affine(
             disc, volume_impl="fused", viscous_impl="fused",
             surface_impl=simpl, interpret=True,
             **({} if block_k is None else {"block_k": block_k}), **flags)
         dq, aux = jax.jit(rhs, static_argnums=())(q, t)
         out[simpl] = (np.asarray(dq), float(aux["rhstest_visc"]))
-    d = np.abs(out["fused"][0] - out["xla"][0]).max()
     scale = np.abs(out["xla"][0]).max()
-    assert d < 1e-11 * scale, (case, d, scale)
-    assert abs(out["fused"][1] - out["xla"][1]) < 1e-9 * max(
-        abs(out["xla"][1]), 1.0)
+    for simpl in ("fused", "merged"):
+        d = np.abs(out[simpl][0] - out["xla"][0]).max()
+        assert d < 1e-11 * scale, (case, simpl, d, scale)
+        assert abs(out[simpl][1] - out["xla"][1]) < 1e-9 * max(
+            abs(out["xla"][1]), 1.0), (case, simpl)
 
 
 def test_rebuilt_jump_bitwise_antisymmetric():
