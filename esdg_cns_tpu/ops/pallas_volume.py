@@ -671,6 +671,130 @@ def _fd_pad8(get_qh, get_qlog, geo, cvol, cface, *, n1, nf, kb, gamma,
     return acc_flat, face_rows
 
 
+def _fd_packed(get_qh, get_qlog, geo, cvol, cface, *, n1, nf, kb, gamma,
+               dirs, diag, dtype):
+    """Triangular fd body with PACKED-FOLD per-direction layouts
+    (round-5 A/B against _fd_pad8, VERDICT item 5).
+
+    _fd_pad8 pads the x axis to 8 sublanes, so every VPU op runs at
+    5/8 occupancy at n1=5 (and ap/8 for the x-direction pair
+    prefixes) — the accepted ~21% N=4 tax.  Here each direction d gets
+    its own layout (pair_axis, fold(other two axes) -> m8, kb) with
+    the fold of n1^2 = 25 rows padded to 32: pair prefixes/lines slice
+    the LEADING axis (free), and every flux op runs at 25/32
+    occupancy for all three directions.  The price is per-direction
+    relayouts (transpose + sublane refold) of the nf+2 value arrays on
+    entry and nf accumulators on exit.
+
+    Same signature and return contract as _fd_pad8.
+    """
+    nq = n1 ** 3
+    nfp = n1 * n1
+    m8 = -(-nfp // 8) * 8
+    quies = {0: 1.0, nf - 1: 1.0}   # rho = beta = 1 at padded rows
+
+    def pad_fold(a, fill):
+        # a: (n1, nfp, kb_) -> (n1, m8, kb_)
+        padshape = (a.shape[0], m8 - nfp) + a.shape[2:]
+        return jnp.concatenate(
+            [a, jnp.full(padshape, fill, a.dtype)], axis=1)
+
+    # base rank-4 views (z, y, x, kb)
+    base = [get_qh(f)[:nq].reshape(n1, n1, n1, kb) for f in range(nf)]
+    base_log = [get_qlog(l)[:nq].reshape(n1, n1, n1, kb)
+                for l in range(2)]
+    # per-direction fold: leading = paired axis, fold order matches the
+    # face-plane row ordering of the trace block (z-major over the two
+    # non-paired axes in (z, y, x) order)
+    perms = {0: (2, 0, 1, 3), 1: (1, 0, 2, 3), 2: (0, 1, 2, 3)}
+    inv_perms = {0: (1, 2, 0), 1: (1, 0, 2), 2: (0, 1, 2)}
+
+    def fold_dir(a, d, fill):
+        return pad_fold(jnp.transpose(a, perms[d]).reshape(n1, nfp, kb),
+                        fill)
+
+    acc_flat = None
+    face_rows = {}
+    for d in dirs:
+        vol_d = [fold_dir(base[f], d, quies.get(f, 0.0))
+                 for f in range(nf)]
+        log_d = [fold_dir(base_log[l], d, 0.0) for l in range(2)]
+        flux_dirs = (d,) if diag else None
+        if diag:
+            geo_d = [geo[d * 3 + d, 0].reshape(1, 1, kb)]
+        else:
+            geo_d = [geo[d * 3 + x, 0].reshape(1, 1, kb)
+                     for x in range(3)]
+
+        def contract(fluxes):
+            if diag:
+                return [geo_d[0] * fluxes[0][f] for f in range(nf)]
+            out = []
+            for f in range(nf):
+                t = None
+                for x in range(3):
+                    term = geo_d[x] * fluxes[x][f]
+                    t = term if t is None else t + term
+                out.append(t)
+            return out
+
+        def coeff_fold(row):
+            # (nq, 1) pair coefficients -> (n1, m8, 1), zeros at pad
+            c4 = row.reshape(n1, n1, n1, 1)
+            return pad_fold(
+                jnp.transpose(c4, perms[d]).reshape(n1, nfp, 1), 0.0)
+
+        acc = [jnp.zeros((n1, m8, kb), dtype) for _ in range(nf)]
+        for ap in range(1, n1):
+            qi = tuple(v[:ap] for v in vol_d)
+            li = tuple(l[:ap] for l in log_d)
+            qj = tuple(v[ap:ap + 1] for v in vol_d)
+            lj = tuple(l[ap:ap + 1] for l in log_d)
+            fluxes = ec_flux_fields(qi, qj, li, lj, gamma,
+                                    dirs=flux_dirs)
+            fr = contract(fluxes)
+            c = coeff_fold(cvol[d * n1 + ap, :, 0:1])[:ap]
+            ztail = n1 - ap - 1
+            for f in range(nf):
+                w = c * fr[f]
+                parts = [w, -jnp.sum(w, axis=0, keepdims=True)]
+                if ztail:
+                    parts.append(jnp.zeros((ztail, m8, kb), w.dtype))
+                acc[f] = acc[f] + jnp.concatenate(parts, axis=0)
+
+        for side in range(2):
+            fid = 2 * d + side
+            rows = slice(nq + fid * nfp, nq + (fid + 1) * nfp)
+            # the face-plane row ordering already matches the fold
+            fvals = tuple(
+                pad_fold(get_qh(f)[rows].reshape(1, nfp, kb),
+                         quies.get(f, 0.0)) for f in range(nf))
+            flog = tuple(pad_fold(get_qlog(l)[rows].reshape(1, nfp, kb),
+                                  0.0) for l in range(2))
+            fluxes = ec_flux_fields(tuple(vol_d), fvals, tuple(log_d),
+                                    flog, gamma, dirs=flux_dirs)
+            fr = contract(fluxes)
+            c = coeff_fold(cface[fid, :, 0:1])
+            face_rows[fid] = []
+            for f in range(nf):
+                w = c * fr[f]
+                acc[f] = acc[f] + w
+                face_rows[fid].append(
+                    -jnp.sum(w, axis=0)[:nfp].reshape(nfp, kb))
+
+        # unfold this direction's accumulators back to flat (nq, kb)
+        unfold = []
+        for f in range(nf):
+            a = acc[f][:, :nfp].reshape(n1, n1, n1, kb)
+            unfold.append(
+                jnp.transpose(
+                    a, (*inv_perms[d], 3)).reshape(nq, kb))
+        acc_flat = (unfold if acc_flat is None
+                    else [a + u for a, u in zip(acc_flat, unfold)])
+
+    return acc_flat, face_rows
+
+
 def _fd_dir_pad8_kernel(qh_ref, qlog_ref, geo_ref, cvol_ref, cface_ref,
                         out_ref, *, n1, gamma, d, diag=False):
     """Split-path stage 2 on the sublane-padded fd body (_fd_pad8)."""

@@ -32,6 +32,43 @@ from .solvers import make_cns_rhs
 from .timestepping import dopri45
 
 
+def becker_shocktube_errors(n: int, k: int, t_end: float = 0.1,
+                            err_tol: float = 1e-7):
+    """L1/L2/Linf Becker-shocktube errors at the reference driver's
+    configuration and norm conventions.
+
+    Solves the Mach-3 viscous shocktube (presets.becker_shocktube_1d,
+    defaults = dg1D_CNS_modalESDG.jl:83-103) to ``t_end`` with adaptive
+    DOPRI45 and evaluates the summed per-field relative errors against
+    the closed-form traveling wave, using the reference's
+    normalizations (:497-512): L1 and L2 are divided by the NUMERICAL
+    solution's norm, Linf by the exact solution's.
+
+    Returns {"l1", "l2", "linf", "n_accepted"}.
+    """
+    from .presets import becker_shocktube_1d
+
+    disc, q0, bc, shock = becker_shocktube_1d(n=n, k=k)
+    rhs = make_cns_rhs(disc, mu=shock.mu, pr=shock.pr, bc=bc,
+                       inviscid_dissipation=True, compute_rhstest=False)
+    cn = (n + 1) * (n + 2) / 2
+    dt0 = min(0.5 * (4.0 / k) / cn, 2.0 / (cn * k * k))
+    qf, stats = jax.jit(
+        lambda q: dopri45(rhs, q, t_end, dt0, err_tol=err_tol))(q0)
+
+    uq = np.asarray(jnp.einsum("ij,fjk->fik", disc.vq, qf))
+    uex = np.stack(shock.conservative(np.asarray(disc.xq[0]), t_end))
+    w = np.asarray(disc.wjq)[None]
+    l1 = float(sum(np.sum(w[0] * np.abs(uq[f] - uex[f]))
+                   / np.sum(w[0] * np.abs(uq[f])) for f in range(3)))
+    l2 = float(sum(np.sqrt(np.sum(w[0] * (uq[f] - uex[f]) ** 2))
+                   / np.sqrt(np.sum(w[0] * uq[f] ** 2)) for f in range(3)))
+    linf = float(sum(np.abs(uq[f] - uex[f]).max()
+                     / np.abs(uex[f]).max() for f in range(3)))
+    return {"l1": l1, "l2": l2, "linf": linf,
+            "n_accepted": int(stats["n_accepted"])}
+
+
 def regularized_lid(x):
     """vlid = (1 + cos(pi x)) / 2 (dg2D_CNS_convergence_test.jl:75)."""
     return (1.0 + np.cos(np.pi * np.asarray(x))) / 2.0

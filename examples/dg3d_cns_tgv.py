@@ -180,6 +180,21 @@ def main():
         "rhstest_visc_min": float(np.min(hist["rhstest_visc_min"])),
         "wall_s": wall,
     }
+    if abs(re - 1600.0) < 1e-9:
+        # quantitative external anchor: the workshop/van-Rees 512^3 DNS
+        # dissipation peak (physics/tgv_benchmarks.py)
+        from esdg_cns_tpu.physics.tgv_benchmarks import compare_re1600
+
+        payload["re1600_anchor"] = compare_re1600(
+            payload["peak"]["eps"], payload["peak"]["t_star"],
+            dof_1d=(n + 1) * k1d)
+        a = payload["re1600_anchor"]
+        print(f"Re=1600 DNS anchor: eps dev {a['eps_rel_dev']*100:.1f}% "
+              f"(tol {a['eps_rel_tol']*100:.0f}%) "
+              f"{'PASS' if a['eps_pass'] else 'FAIL'}; "
+              f"t* dev {a['t_star_abs_dev']:.2f} "
+              f"(tol {a['t_star_abs_tol']:.2f}) "
+              f"{'PASS' if a['t_star_pass'] else 'FAIL'}")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=2)
