@@ -89,6 +89,27 @@ PEAK_F32_FLOPS = 197e12 / 6.0    # 6-pass HIGHEST f32 matmul equivalent
 # pointwise flop groups at their own units' peaks.
 PEAK_VPU_F32 = 1.55e12   # measured 1.552 median / 0.1% spread (2026-08)
 
+# ---- measured VPU issue-slot model (round 5) ----
+# examples/vpu_transcendental.py (slope-timed dependent op chains with
+# mul/add fusion probes) decoded the 1.55 TFLOP/s figure: a*c+b does
+# NOT fuse — pure-mul and pure-add chains each run ~1.35e12 ops/s
+# while the "FMA" chain runs 0.743e12 iters/s, i.e. the machine issues
+# ~1.49e12 VECTOR OP SLOTS/s and an FMA spends 2 of them (2 flops, so
+# the flop ceiling stays 1.49-1.55e12 ONLY for FMA-shaped code; every
+# plain add/mul/select delivers just 1 flop/slot).  Measured per-op
+# slot costs (same harness):
+#   div 3.4   sqrt 3.8   rsqrt 3.2   log ~0.2   exp ~1.0
+# (log/exp ride a parallel transcendental pipe: the log chain runs
+# FASTER than the fma chain — effectively free when overlapped.)
+# The "slot roofline" below prices per-op-class SLOT counts at this
+# issue rate — the truthful VPU compute bound for this op mix; the
+# legacy flop-priced vpu-aware fields stay for cross-round continuity.
+SLOT_RATE = 1.49e12              # measured vector-op issue slots / s
+SLOT_DIV = 3.4
+SLOT_SQRT = 3.8
+SLOT_LOG = 0.2
+SLOT_EXP = 1.0
+
 
 def _time_steps(rhs, q0, steps):
     """Return per-repeat wall times (seconds) for `steps` LSRK45 steps.
@@ -161,6 +182,38 @@ _EC_FLUX_FLOPS = {2: 60, 3: 78}   # one EC two-point flux, one direction
 _TRANS_FLOPS = 8                  # log/exp/pow counted as 8 flop-equiv
 
 
+# ---- per-op-class SLOT counts (round 5; prices are the measured
+# constants above; every plain add/mul/select/cmp = 1 slot, and an
+# unfused a*b+c = 2).  Counted from physics/euler.py source:
+# _logmean_parts = 14 slots + 1 div each; the shared EC-flux core
+# (2 logmean parts, rholog, 1/betalog, averages, vel_dot, pa,
+# e_plus_p) = 52 slots + 5 div; each emitted direction adds 2+dim
+# slots/field-group ~ 6; caller-side coefficient/metric/accumulate
+# adds ~4 slots/field (diag) or ~8 (general metric). ----
+def _ec_pair_slots(dim, nf, ndirs, diag):
+    core = 52.0 + 5.0 * SLOT_DIV
+    emit = (2.0 + dim) * ndirs
+    caller = (4.0 if diag else 8.0) * nf
+    return core + emit + caller
+
+
+def _wavespeed_slots():
+    # rhoun contraction + |.|, c = sqrt(gamma p / rho): ~8 plain +
+    # 1 div + 1 sqrt (physics/euler.py wavespeed)
+    return 8.0 + SLOT_DIV + SLOT_SQRT
+
+
+def _v_ufun_slots():
+    # pressure (|m|^2/rho), s = log p - gamma log rho, v rows:
+    # ~26 plain + 2 div + 2 log
+    return 26.0 + 2.0 * SLOT_DIV + 2.0 * SLOT_LOG
+
+
+def _u_vfun_slots():
+    # inverse map: ~24 plain + 1 exp + 2 div
+    return 24.0 + SLOT_EXP + 2.0 * SLOT_DIV
+
+
 def _roofline_euler_hex_fused(disc):
     """FLOPs and minimum HBM bytes per RHS for the fused hex path.
 
@@ -190,6 +243,18 @@ def _roofline_euler_hex_fused(disc):
     )
     mxu = k * gemms
     vpu = k * (fd + pointwise)
+    # measured-price slot model (bench config is axis-aligned -> the
+    # kernels run the diag specialization: ONE flux direction per pair)
+    slots = k * (
+        (pairs_vv + pairs_vf) * _ec_pair_slots(3, nf, 1, diag=True)
+        + nq * _v_ufun_slots()
+        + nfq * _u_vfun_slots()
+        + nh * (10 + 2 * SLOT_DIV + 2 * SLOT_LOG)     # beta + logs
+        + nfq * (_ec_pair_slots(3, nf, 1, diag=True)   # surface flux
+                 + 2 * _wavespeed_slots() + 12)        # LF (aligned
+        #        faces carry one normal direction each)
+        + nf * np_ * 2                                 # -1/J scale
+    )
 
     ntr = 7  # (rho, u1..3, beta, log rho, log beta) traces
     bytes_ = 4 * k * (
@@ -198,7 +263,7 @@ def _roofline_euler_hex_fused(disc):
         + (2 * ntr * nfq + 5 * nfq + np_ + nf * nq  # surface kernel reads
            + nf * nq)                               # + write dq
     )
-    return mxu, vpu, bytes_
+    return mxu, vpu, bytes_, slots
 
 
 def _roofline_cns_affine(disc):
@@ -249,6 +314,29 @@ def _roofline_cns_affine(disc):
     )
     mxu = k * gemms
     vpu = k * (fd + pointwise)
+    # measured-price slot model.  Affine tri = general metric (both
+    # flux directions per pair); the surface section counts the
+    # production path's ops: neighbor conservative+entropy rebuild, BC
+    # ghost handling, EC flux with ghost-log recompute, LF, entropy BC,
+    # jump and penalty rows; viscous = K(v) matvec (FMA-shaped:
+    # slots ~ flops) + per-(dir,field) gradient/divergence assembly.
+    slots = k * (
+        pairs * _ec_pair_slots(dim, nf, dim, diag=False)
+        + nq * _v_ufun_slots()                        # v(U) at quad
+        + nh * (10 + 2 * SLOT_DIV + 2 * SLOT_LOG)     # qh beta + logs
+        + nfq * (13                                    # vup rebuild
+                 + 2 * (8 + SLOT_DIV)                  # cons rebuild x2
+                 + 25                                  # BC ghosts
+                 + _ec_pair_slots(dim, nf, dim, diag=False)
+                 + 2 * SLOT_LOG                        # ghost logs
+                 + 2 * _wavespeed_slots() + 12         # LF
+                 + 15 + nf                             # entropy BC + dv
+                 + SLOT_DIV + 2 * nf)                  # penalty rows
+        + kv + nq * (6 + SLOT_DIV)                     # K(v) + 1/ve^3
+        + dim * nf * nq * (2 * dim + 2)                # gradient assembly
+        + dim * nf * nq * (2 * dim)                    # divergence geo
+        + nf * np_ * 6                                 # assembly/scale
+    )
 
     ntr1 = 2 * nf + 2 + 1 + nf       # merged exchange rows (qm,uf,logs,lam,vuf)
     bytes_ = 4 * k * (
@@ -258,11 +346,11 @@ def _roofline_cns_affine(disc):
         + 2 * dim * nf * nq           # stresses materialized r/w
         + 2 * nf * front_rows         # front-end output r/w
     )
-    return mxu, vpu, bytes_
+    return mxu, vpu, bytes_, slots
 
 
 def _with_roofline(disc, elapsed_per_stage, model):
-    mxu, vpu, bytes_ = model(disc)
+    mxu, vpu, bytes_, slots = model(disc)
     flops = mxu + vpu
     t_min = max(flops / PEAK_F32_FLOPS, bytes_ / PEAK_HBM)
     # vpu-aware compute leg: GEMMs at the MXU peak plus pointwise/flux-
@@ -272,10 +360,17 @@ def _with_roofline(disc, elapsed_per_stage, model):
     # this models no MXU/VPU overlap; HBM can overlap with both.
     t_vpu = max(mxu / PEAK_F32_FLOPS + vpu / PEAK_VPU_F32,
                 bytes_ / PEAK_HBM)
+    # slot roofline (round 5): per-op-class VPU slot counts at the
+    # measured issue rate — the truthful compute bound for this op mix
+    # (the flop-priced leg above undersells add/mul/select-heavy code
+    # since only FMAs deliver 2 flops/slot on this VPU)
+    t_slot = max(mxu / PEAK_F32_FLOPS + slots / SLOT_RATE,
+                 bytes_ / PEAK_HBM)
     return {
         "flops_per_rhs": flops,
         "mxu_flops_per_rhs": mxu,
         "vpu_flops_per_rhs": vpu,
+        "vpu_slots_per_rhs": slots,
         "hbm_bytes_per_rhs": bytes_,
         "arith_intensity": flops / bytes_,
         "gflops_per_s": flops / elapsed_per_stage / 1e9,
@@ -284,6 +379,8 @@ def _with_roofline(disc, elapsed_per_stage, model):
         "fraction_of_roofline": t_min / elapsed_per_stage,
         "vpu_aware_min_stage_s": t_vpu,
         "fraction_of_vpu_aware_roofline": t_vpu / elapsed_per_stage,
+        "slot_min_stage_s": t_slot,
+        "fraction_of_slot_roofline": t_slot / elapsed_per_stage,
     }
 
 
@@ -310,7 +407,9 @@ def bench_euler_hex(n_default=3, k1d_default=32):
     if impl == "fused":
         from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
 
-        rhs = make_euler_rhs_fused(disc, dissipation=True)
+        rhs = make_euler_rhs_fused(
+            disc, dissipation=True,
+            volume_mode=os.environ.get("BENCH_VOLUME_MODE", "auto"))
     else:
         rhs = make_euler_rhs(
             disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False

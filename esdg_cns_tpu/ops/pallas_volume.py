@@ -86,7 +86,8 @@ def _entropy_project_hex(q, ef, gamma):
 
 def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
                    ef_ref, lift_ref, out_ref, traces_ref, *, n1, gamma,
-                   curved, view_acc=False, diag=False, pad_x=False):
+                   curved, view_acc=False, diag=False, pad_x=False,
+                   packed=False):
     nq = n1 ** 3
     nfp = n1 * n1
     nf = q_ref.shape[0]
@@ -117,8 +118,12 @@ def _volume_kernel(q_ref, geo_ref, cvol_ref, cface_ref, iw_ref, iwf_ref,
     # ---- line-sparse flux differencing ----
     if pad_x:
         # sublane-padded fd body (affine only): all three directions
-        # on ONE x-padded rank-4 view set, shared with the split path
-        acc_vol, fr8 = _fd_pad8(
+        # on ONE x-padded rank-4 view set, shared with the split path.
+        # packed=True swaps in the packed-fold body (_fd_packed,
+        # round 5): per-direction (pair_axis, fold->tile, kb) layouts,
+        # measured 1.38x over pad8 at n1=5 in isolation
+        body = _fd_packed if packed else _fd_pad8
+        acc_vol, fr8 = body(
             lambda f: qh[f], lambda l: qlog[l], geo, cvol, cface,
             n1=n1, nf=nf, kb=kb, gamma=gamma, dirs=(0, 1, 2), diag=diag,
             dtype=q.dtype,
@@ -324,12 +329,13 @@ def default_block_k(n: int, volume_mode: str = "joint") -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "nq", "line_ops", "block_k", "interpret",
-                     "view_acc", "diag", "pad_x"),
+                     "view_acc", "diag", "pad_x", "packed"),
 )
 def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
                         line_ops: LineOps, block_k: int = 128,
                         interpret: bool = False, view_acc: bool = False,
-                        diag: bool = False, pad_x: bool = False):
+                        diag: bool = False, pad_x: bool = False,
+                        packed: bool = False):
     """Fused volume stage. Returns (ph_qf [5, Nq, K], traces [7, Nfq, K])
     with traces = (rho, u1, u2, u3, beta, log rho, log beta) at the face
     points."""
@@ -372,7 +378,8 @@ def euler_volume_pallas(q, geo, ef, lift, gamma, *, nq,
         raise ValueError("pad_x requires an affine mesh")
     kernel = functools.partial(_volume_kernel, n1=n1, gamma=gamma,
                                curved=curved, view_acc=view_acc,
-                               diag=diag and not curved, pad_x=pad_x)
+                               diag=diag and not curved, pad_x=pad_x,
+                               packed=packed)
     out, traces = pl.pallas_call(
         kernel,
         grid=(kp // kb,),
@@ -694,7 +701,11 @@ def _fd_packed(get_qh, get_qlog, geo, cvol, cface, *, n1, nf, kb, gamma,
     quies = {0: 1.0, nf - 1: 1.0}   # rho = beta = 1 at padded rows
 
     def pad_fold(a, fill):
-        # a: (n1, nfp, kb_) -> (n1, m8, kb_)
+        # a: (n1, nfp, kb_) -> (n1, m8, kb_); no-op when the fold is
+        # already tile-aligned (n1=4: nfp=16=2x8 -> zero-size concat
+        # operands are rejected by Mosaic)
+        if m8 == nfp:
+            return a
         padshape = (a.shape[0], m8 - nfp) + a.shape[2:]
         return jnp.concatenate(
             [a, jnp.full(padshape, fill, a.dtype)], axis=1)

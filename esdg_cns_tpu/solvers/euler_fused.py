@@ -129,6 +129,12 @@ def make_euler_rhs_fused(
     elif volume_mode == "joint_pad8":
         _vol = functools.partial(euler_volume_pallas, pad_x=True,
                                  diag=axis_aligned)
+    elif volume_mode == "joint_packed":
+        # packed-fold fd body (round 5): per-direction
+        # (pair_axis, fold->tile) layouts, 25/32 occupancy at n1=5
+        # instead of pad8's 5/8 (and full 2-tile folds at n1=4)
+        _vol = functools.partial(euler_volume_pallas, pad_x=True,
+                                 packed=True, diag=axis_aligned)
     else:
         _vol = functools.partial(euler_volume_pallas, diag=axis_aligned)
     if surface_block_k is None:

@@ -284,8 +284,96 @@ def cumulative():
     print(f"full-RHS rate at prefix 5: {dof/(prev/1e3):.3e} DOF*stage/s")
 
 
+def cumulative_merged():
+    """Cumulative prefixes of the round-5 MERGED pipeline: volume
+    kernel -> exchange #1 -> ONE surface+viscous kernel -> stress
+    exchange -> tail (surface_impl='merged')."""
+    n = int(os.environ.get("BENCH_N", 3))
+    k1d = int(os.environ.get("BENCH_K1D", 128))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    gamma = 1.4
+
+    disc, q0, bc, p = lid_driven_cavity(n=n, k1d=k1d, dtype=jnp.float32)
+    dof = 4 * disc.np_ * disc.num_elements
+    dim, nq, nfq = disc.dim, disc.nq, disc.nfq
+    nfields = dim + 2
+    print(f"N={n}, K={disc.num_elements}, DOF={dof/1e6:.2f}M "
+          f"(platform {jax.devices()[0].platform}, merged pipeline)")
+    floor = dispatch_floor(q0)
+    print(f"dispatch floor     : {floor:7.3f} ms/rep (subtracted below)")
+
+    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b,
+                                 precision=jax.lax.Precision.HIGHEST)
+    vqpq = mm(disc.vq, disc.pq)
+    vqlift = mm(disc.vq, disc.lift)
+    drpq = [mm(di, disc.pq) for di in disc.d]
+    vqdrpq = [mm(disc.vq, dp) for dp in drpq]
+    drpq_stack = jnp.stack(drpq)
+    front = jnp.concatenate([vqpq, *vqdrpq], axis=0)
+    inv_j = disc.inv_jac[:1]
+    adiab = adiabatic_mask(disc, bc)
+    interp = not on_tpu
+
+    from esdg_cns_tpu.ops.pallas_cns_surface import prepare_surface_bc
+    from esdg_cns_tpu.ops.pallas_modal_volume import euler_modal_volume_pallas
+    from esdg_cns_tpu.ops.pallas_viscous import cns_surface_viscous_pallas
+    from esdg_cns_tpu.solvers._shared import neighbor_traction
+
+    pool, recipe, evals = prepare_surface_bc(bc, adiab, dim)
+    assert not evals
+
+    def prefix(stage):
+        def f(q):
+            ph_qf, tr, vu_q = euler_modal_volume_pallas(
+                q, disc.geo, disc.q_skew, disc.vq, disc.vhp, disc.ph,
+                gamma, nq=nq, interpret=interp)
+            qm = tr[:nfields]
+            qm_log = tr[nfields:nfields + 2]
+            if stage == 1:
+                return ph_qf.sum() + tr.sum() + vu_q.sum()
+            nbr = disc.gather_traces(jnp.concatenate([qm, qm_log], 0))
+            if stage == 2:
+                return nbr.sum() + ph_qf.sum() + vu_q.sum()
+            flux, pen, t_f, div, prod, vuq = cns_surface_viscous_pallas(
+                vu_q, qm, qm_log, nbr, list(disc.nxj), disc.sj,
+                disc.inv_sj, pool, disc.geo, inv_j, disc.wjq, front,
+                vqlift, disc.vhp[nq:], drpq_stack,
+                gamma=gamma, mu=p["mu"], lam=None, pr=p["pr"],
+                re=p["re"], nq=nq, dissipation=True, with_penalty=True,
+                recipe=recipe, proj=True, contract=True,
+                interpret=interp)
+            if stage == 3:
+                return (flux.sum() + pen.sum() + t_f.sum() + div.sum()
+                        + ph_qf.sum())
+            t_ex = disc.gather_traces(t_f)
+            t_pn = neighbor_traction(disc, bc, t_f, t_ex, 0.0)
+            if stage == 4:
+                return (t_pn.sum() + flux.sum() + pen.sum() + div.sum()
+                        + ph_qf.sum())
+            jump_n = 0.5 * (t_pn - t_f)
+            lifted = _apply(disc.lift, jnp.stack([flux, jump_n, pen]))
+            dq_i = -(ph_qf + lifted[0]) * inv_j[None]
+            dq_v = (div + lifted[1]) * inv_j[None] + lifted[2]
+            return (dq_i + dq_v).sum()
+        return f
+
+    labels = {1: "vol kernel", 2: "+ exch1",
+              3: "+ merged surf+visc kernel", 4: "+ stress exch + BC",
+              5: "+ tail (full RHS)"}
+    prev = 0.0
+    for s in (1, 2, 3, 4, 5):
+        ms = timeit(prefix(s), q0) - floor
+        print(f"prefix {s} {labels[s]:28s}: {ms:7.3f} ms "
+              f"(+{ms - prev:6.3f})", flush=True)
+        prev = ms
+    print(f"full-RHS rate at prefix 5: {dof/(prev/1e3):.3e} DOF*stage/s")
+
+
 if __name__ == "__main__":
-    if os.environ.get("STUDY", "stages") == "cum":
+    which = os.environ.get("STUDY", "stages")
+    if which == "cum":
         cumulative()
+    elif which == "cum_merged":
+        cumulative_merged()
     else:
         main()

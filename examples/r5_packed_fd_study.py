@@ -102,9 +102,11 @@ def main():
     nf = 5
 
     rng = np.random.default_rng(0)
-    rho = 1.0 + 0.2 * rng.standard_normal((nh, k))
+    # strictly positive rho/beta (a 1 + 0.2 N(0,1) draw goes negative
+    # at ~5 sigma over the 7.7M TPU-size samples -> log -> NaN)
+    rho = np.exp(0.2 * rng.standard_normal((nh, k)))
     u = 0.2 * rng.standard_normal((3, nh, k))
-    beta = 1.0 + 0.2 * rng.standard_normal((nh, k))
+    beta = np.exp(0.2 * rng.standard_normal((nh, k)))
     qh = jnp.asarray(np.concatenate([rho[None], u, beta[None]]),
                      jnp.float32)
     qlog = jnp.stack([jnp.log(qh[0]), jnp.log(qh[4])])

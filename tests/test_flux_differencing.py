@@ -142,7 +142,8 @@ def test_fused_rhs_free_stream_cpu():
 
 
 @pytest.mark.parametrize("mode", ["joint", "split", "split_dense",
-                                  "split_pad8", "joint_pad8"])
+                                  "split_pad8", "joint_pad8",
+                                  "joint_packed"])
 def test_fused_rhs_matches_lines_n4_f64(mode):
     """The fused kernels are correct at N=4 too (f64, interpret mode):
     all three volume_mode variants (joint all-in-one kernel, split
@@ -202,7 +203,9 @@ def test_snap_detect_contract():
 
 
 @pytest.mark.parametrize("n,mode", [(3, "joint"), (4, "split"),
-                                    (4, "split_pad8"), (4, "joint_pad8")])
+                                    (4, "split_pad8"), (4, "joint_pad8"),
+                                    (3, "joint_packed"),
+                                    (4, "joint_packed")])
 def test_fused_diag_specialization(n, mode):
     """The axis-aligned (diagonal-metric) kernel specialization: on a
     uniform hex mesh detection engages, and statically dropping the
