@@ -407,9 +407,11 @@ def bench_euler_hex(n_default=3, k1d_default=32):
     if impl == "fused":
         from esdg_cns_tpu.solvers.euler_fused import make_euler_rhs_fused
 
+        bk = os.environ.get("BENCH_BLOCK_K")
         rhs = make_euler_rhs_fused(
             disc, dissipation=True,
-            volume_mode=os.environ.get("BENCH_VOLUME_MODE", "auto"))
+            volume_mode=os.environ.get("BENCH_VOLUME_MODE", "auto"),
+            **({} if bk is None else {"block_k": int(bk)}))
     else:
         rhs = make_euler_rhs(
             disc, dissipation=True, flux_diff_impl=impl, compute_rhstest=False

@@ -319,8 +319,15 @@ def default_block_k(n: int, volume_mode: str = "joint") -> int:
     2048 -> 1.93e9).  The round-4 pad8 kernels keep the same widths:
     with the x axis sublane-padded the blocks are tile-aligned but
     carry n1p/n1 padded rows, and wide lanes still win (N=2 joint_pad8
-    1024 = 2.43e9 vs 512 = 2.37e9; N=4 joint_pad8 512 = 2.84e9)."""
+    1024 = 2.43e9 vs 512 = 2.37e9; N=4 joint_pad8 512 = 2.84e9).
+
+    The round-5 packed-fold kernels (joint_packed) fold n1^2 rows into
+    the sublane dim, so alignment no longer tracks n1 | 8 and
+    mid-width blocks win: N=3 packed 256 = 3.98e9 vs 512 = 3.82e9 vs
+    128 = 3.20e9 (full RHS, K=13824)."""
     n1 = n + 1
+    if volume_mode == "joint_packed":
+        return 256
     if 8 % n1 == 0:
         return 128
     return 1024 if n1 == 3 else 512

@@ -285,16 +285,22 @@ def make_cns_rhs_affine(
                                          euler_volume_pallas,
                                          euler_volume_split_pallas)
 
-        pad8 = 8 % (disc.n + 1) != 0
-        split = disc.n >= 4 and not pad8
+        # misaligned orders AND aligned n1=4 ride the packed-fold fd
+        # body (round 5: 1.38x over pad8 in isolation, +21% full-RHS
+        # at N=4, +18% at N=3 where 4-row lines are half-tiles but the
+        # 16-row fold is two full tiles)
+        packed = 8 % (disc.n + 1) != 0 or disc.n + 1 == 4
+        split = disc.n >= 4 and not packed
         vol = euler_volume_split_pallas if split else euler_volume_pallas
-        mode = ("joint_pad8" if pad8 else "split" if split else "joint")
+        mode = ("joint_packed" if packed else "split" if split
+                else "joint")
         bk = (default_block_k(disc.n, mode)
               if block_k is None else block_k)
         ph_qf, tr = vol(
             q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
             nq=nq, line_ops=disc.line_ops, interpret=interpret,
-            block_k=bk, diag=hex_diag, pad_x=pad8,
+            block_k=bk, diag=hex_diag, pad_x=packed,
+            **({"packed": True} if packed else {}),
         )
         qm = tr[:nfields]                    # (rho, u_1..d, beta) at faces
         qm_log = tr[nfields:nfields + 2]

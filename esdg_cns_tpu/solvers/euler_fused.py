@@ -105,7 +105,16 @@ def make_euler_rhs_fused(
     if volume_mode == "auto":
         n1 = disc.n + 1
         if disc.affine and 8 % n1 != 0:
-            volume_mode = "joint_pad8"
+            # round 5: the packed-fold fd body beats pad8 1.38x in
+            # isolation at n1=5 and +21% on the full N=4 RHS
+            # (2.66e9 -> 3.21e9 DOF*stage/s, one v5e, median of 7)
+            volume_mode = "joint_packed"
+        elif disc.affine and n1 == 4:
+            # aligned n1=4 also wins packed: the view path's 4-row
+            # line extents are half 8-sublane tiles, the 16-row fold
+            # is exactly two full tiles (N=3 full RHS 3.36e9 ->
+            # 3.98e9 at block_k=256, round 5)
+            volume_mode = "joint_packed"
         elif disc.n >= 4 and disc.affine:
             volume_mode = "split"
         else:
