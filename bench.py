@@ -154,6 +154,13 @@ def _time_steps(rhs, q0, steps):
               file=sys.stderr)
         run(q0).block_until_ready()
         times = _loop()
+        if min(times) < 1e-2:
+            # still impossible after the re-warm: refuse to record a
+            # garbage artifact (observed: a failed-to-sync config
+            # "measured" 4e13 DOF*stage/s in round 5)
+            raise RuntimeError(
+                f"bench timing anomaly persists (min {min(times):.2e} s "
+                f"for {steps} steps): sync did not cover execution")
     return times
 
 

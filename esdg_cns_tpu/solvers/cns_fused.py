@@ -109,7 +109,10 @@ def make_cns_rhs_affine(
         construction: the kernel rebuilds the WallBC pytree from its
         inputs and calls the same hooks.
       'xla'  — the jnp path (solvers._shared.inviscid_surface).
-      'auto' — the XLA surface (pending the round-5 merged-kernel A/B).
+      'auto' — 'merged' on the tri/modal fused path (round-5 A/B:
+        1.489e9 vs 1.438e9 DOF*stage/s at the bench config), the XLA
+        surface elsewhere (the collocated-hex path keeps XLA pending
+        its own merged A/B).
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -190,14 +193,17 @@ def make_cns_rhs_affine(
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
     if surface_impl not in ("auto", "fused", "merged", "xla"):
         raise ValueError(f"unknown surface_impl: {surface_impl!r}")
-    # auto: XLA everywhere.  The STANDALONE fused surface kernel lost
-    # its A/B once the contracted stress exchange shrank the XLA tail
-    # (3D hex cavity 1.75e9 fused vs 2.03e9 XLA; 2D tri cavity 1.05e9
-    # fused vs 1.26e9 XLA — one v5e chip, 60-step LSRK45, median of
-    # 7); it stays available via surface_impl='fused'.  The MERGED
-    # surface+viscous kernel (round 5) is selected explicitly with
-    # surface_impl='merged'.
-    use_merged_surface = surface_impl == "merged"
+    # auto: the MERGED surface+viscous kernel on the tri/modal path
+    # (round-5 head-to-head at the bench config: 1.489e9 merged vs
+    # 1.438e9 XLA DOF*stage/s, +3.6%); XLA surface elsewhere.  The
+    # STANDALONE fused surface kernel lost its A/B once the contracted
+    # stress exchange shrank the XLA tail (3D hex cavity 1.75e9 fused
+    # vs 2.03e9 XLA; 2D tri cavity 1.05e9 fused vs 1.26e9 XLA — one
+    # v5e chip, 60-step LSRK45, median of 7); it stays available via
+    # surface_impl='fused'.
+    use_merged_surface = surface_impl == "merged" or (
+        surface_impl == "auto" and fused_visc_ok
+        and viscous_impl in ("auto", "fused") and volume_impl == "fused")
     if use_merged_surface and not fused_visc_ok:
         raise ValueError(
             "surface_impl='merged' requires volume_impl in "

@@ -41,6 +41,19 @@ if os.environ.get("PLATFORM", "cpu"):
     # the axon sitecustomize pins the platform via jax.config, so the
     # env var alone is not enough
     jax.config.update("jax_platforms", os.environ.get("PLATFORM", "cpu"))
+# the sitecustomize imports jax at interpreter startup, so the
+# JAX_ENABLE_X64 env var is read BEFORE this script can set it — the
+# config call is the only reliable switch (a setdefault here silently
+# left the whole sweep in f32: tol=1e-11 below f32 precision made the
+# controller chase noise and bail early, producing ANTI-convergent
+# errors, round 5)
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np
 
@@ -55,16 +68,19 @@ def main():
     # TOL=1e-16, dg1D_CNS_modalESDG.jl:81); 1e-7 was measured to floor
     # the N=3/N=4 K=128 errors at ~1e-5
     err_tol = float(os.environ.get("ERR_TOL", 1e-11))
+    ks = tuple(int(x) for x in
+               os.environ.get("KS", "32,64,128").split(","))
     rows = []
     # the reference configuration is (N=4, K=128); the K-sweep at each N
     # exposes the convergence rates the paper tabulates
     for n in (2, 3, 4):
-        for k in (32, 64, 128):
+        for k in ks:
             errs = becker_shocktube_errors(n=n, k=k, t_end=0.1,
                                            err_tol=err_tol)
             rows.append({"n": n, "k": k, **errs})
             print(f"N={n} K={k:4d}: L1 {errs['l1']:.6e}  "
-                  f"L2 {errs['l2']:.6e}  Linf {errs['linf']:.6e}")
+                  f"L2 {errs['l2']:.6e}  Linf {errs['linf']:.6e}",
+                  flush=True)
     # observed orders between successive K at fixed N
     for n in (2, 3, 4):
         sub = [r for r in rows if r["n"] == n]

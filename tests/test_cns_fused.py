@@ -205,6 +205,30 @@ def test_fused_surface_matches_xla(case):
             abs(out["xla"][1]), 1.0), (case, simpl)
 
 
+def test_merged_surface_hex_matches_xla():
+    """surface_impl='merged' on the collocated-hex path (proj=False:
+    the viscous front end is gradient-rows-only and vuq is the raw
+    v(U)) == the XLA surface section, to roundoff."""
+    from esdg_cns_tpu.presets import lid_driven_cavity_3d
+
+    disc, q0, bc, p = lid_driven_cavity_3d(n=2, k1d=2)
+    rng = np.random.default_rng(5)
+    q = q0 * (1.0 + 0.01 * jnp.asarray(rng.standard_normal(q0.shape)))
+    kw = dict(mu=p["mu"], pr=p["pr"], re=p["re"], bc=bc,
+              inviscid_dissipation=True, viscous_dissipation=True,
+              volume_impl="fused_hex", interpret=True)
+    out = {}
+    for simpl in ("xla", "merged"):
+        rhs = make_cns_rhs_affine(disc, surface_impl=simpl, **kw)
+        dq, aux = jax.jit(rhs)(q, 0.0)
+        out[simpl] = (np.asarray(dq), float(aux["rhstest_visc"]))
+    d = np.abs(out["merged"][0] - out["xla"][0]).max()
+    s = np.abs(out["xla"][0]).max()
+    assert d < 1e-11 * s, (d, s)
+    assert abs(out["merged"][1] - out["xla"][1]) < 1e-9 * max(
+        abs(out["xla"][1]), 1.0)
+
+
 def test_rebuilt_jump_bitwise_antisymmetric():
     """The comm-avoiding design invariant (docs/design.md): with BOTH
     sides of every conforming face rebuilding the entropy/conservative
