@@ -677,3 +677,33 @@ def test_mms_convergence_results():
         assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), (n, errs)
         assert row["rates"][-1] > n + 0.4, (n, row["rates"])
         assert errs[-1] < 5e-4, (n, errs)
+
+
+def test_tgv_re1600_dns_anchor():
+    """The EXECUTED Re=1600 TGV artifact (round 5, TPU f32, N=3,
+    K=4096 = 64^3 DOF, Ma=0.1, t*=12) against the vendored 512^3 DNS
+    dissipation-peak values (van Rees et al. 2011 / HiOCFD case 3.5,
+    physics/tgv_benchmarks.py): the first QUANTITATIVE external anchor
+    for the 3D viscous path (the reference has no TGV at all).
+    Measured: eps_peak = 1.312e-2 at t* = 8.96 vs DNS 1.208e-2 at
+    9.03 — within the resolution-graded bands."""
+    import json
+    import os
+
+    from esdg_cns_tpu.physics.tgv_benchmarks import compare_re1600
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "tgv_r05.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["config"]["re"] == 1600.0
+    a = d["re1600_anchor"]
+    assert a["eps_pass"] and a["t_star_pass"], a
+    # the comparison fields must be reproducible from the vendored data
+    re = compare_re1600(d["peak"]["eps"], d["peak"]["t_star"],
+                        dof_1d=(d["config"]["n"] + 1) * d["config"]["k1d"])
+    assert abs(re["eps_rel_dev"] - a["eps_rel_dev"]) < 1e-12
+    assert re["eps_pass"] and re["t_star_pass"]
+    # physics oracles still hold on this run
+    assert d["ke_monotone_decay"]
+    assert d["rhstest_max"] < 0.0
