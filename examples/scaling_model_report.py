@@ -40,14 +40,14 @@ from esdg_cns_tpu.presets import (
 )
 from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
 
-# standing single-chip medians (BENCH r04 refresh, PARITY.md); the
-# driver's next bench artifact supersedes these numbers, the payload
-# and boundary measurements do not depend on them
+# standing single-chip medians (round-5 packed-fold/merged kernels,
+# PARITY.md); the driver's next bench artifact supersedes these
+# numbers, the payload and boundary measurements do not depend on them
 MEASURED_DOF_STAGE_PER_S = {
-    "euler_hex_n3": 3.357e9,
-    "euler_hex_n4": 2.660e9,
-    "cns_cavity": 1.438e9,
-    "cns_cavity_3d": 2.305e9,
+    "euler_hex_n3": 3.978e9,
+    "euler_hex_n4": 3.320e9,
+    "cns_cavity": 1.489e9,
+    "cns_cavity_3d": 2.577e9,
 }
 
 
