@@ -9,7 +9,7 @@ strong-scaling efficiency on a v5e ICI ring.
 
     python examples/scaling_model_report.py
 
-Writes results/scaling_model_r04.json; the payload row counts are
+Writes results/scaling_model_r05.json; the payload row counts are
 pinned by tests/test_scaling_model.py.
 """
 
@@ -98,7 +98,7 @@ def main():
               f"n=256 {s256['efficiency_serial']:.4f} "
               f"(overlapped {s256['efficiency_overlapped']:.4f})")
 
-    path = os.path.join(HERE, "..", "results", "scaling_model_r04.json")
+    path = os.path.join(HERE, "..", "results", "scaling_model_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
