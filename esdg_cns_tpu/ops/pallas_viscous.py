@@ -153,7 +153,8 @@ def _surface_viscous_kernel(vu_ref, qm_ref, logm_ref, nbr_ref, nxj_ref,
                             sj2_ref, pool_ref, geo_ref, invj_ref, wjq_ref,
                             front_ref, vqlift_ref, ef_ref, drpq_ref,
                             *rest, dim, nq, gamma, mu, lam, pr, re, proj,
-                            contract, dissipation, with_penalty, recipe):
+                            contract, dissipation, with_penalty, recipe,
+                            fold_tail=False):
     """Merged surface + viscous kernel body.
 
     Extends _viscous_body with the post-exchange surface section
@@ -171,9 +172,23 @@ def _surface_viscous_kernel(vu_ref, qm_ref, logm_ref, nbr_ref, nxj_ref,
 
     nf = dim + 2
     it = iter(rest)
-    flux_ref = next(it)
-    pen_ref = next(it) if with_penalty else None
-    sf_ref, div_ref, prod_ref = next(it), next(it), next(it)
+    if fold_tail:
+        # tail-folded form: the flux/penalty LIFTs, the divergence and
+        # the 1/J assembly happen IN-kernel against the volume
+        # kernel's ph_qf input; only the post-exchange jump LIFT
+        # remains for XLA.  flux / pen / div never touch HBM.
+        phq_ref, lift_ref = next(it), next(it)
+        dq_ref = next(it)
+        flux_ref = pen_ref = None
+        div_ref = [None] * nf            # collected as values
+    else:
+        flux_ref = next(it)
+        pen_ref = next(it) if with_penalty else None
+        div_ref = None
+    sf_ref = next(it)
+    if not fold_tail:
+        div_ref = next(it)
+    prod_ref = next(it)
     vuq_ref = next(it) if proj else None
 
     vu = vu_ref[...]          # [Nf, Nq, KB] raw v(U) at quadrature
@@ -212,7 +227,8 @@ def _surface_viscous_kernel(vu_ref, qm_ref, logm_ref, nbr_ref, nxj_ref,
 
         lfc = 0.25 * jnp.maximum(lam_w(uf), lam_w(up)) * sj
         flux = flux - lfc[None] * (up - uf)
-    flux_ref[...] = flux
+    if not fold_tail:
+        flux_ref[...] = flux
 
     # ---- entropy-variable BC + BR1 jump ----
     if bc is not None:
@@ -220,33 +236,51 @@ def _surface_viscous_kernel(vu_ref, qm_ref, logm_ref, nbr_ref, nxj_ref,
     dv = vup - vuf
 
     # ---- interface penalty rows ----
+    pen = None
     if with_penalty:
-        pen_ref[...] = viscous_penalty_rows(disc, bc, adiab, vuf, vup,
-                                            dv, re)
+        pen = viscous_penalty_rows(disc, bc, adiab, vuf, vup, dv, re)
+        if not fold_tail:
+            pen_ref[...] = pen
 
     # ---- the whole viscous mid-section on the in-VMEM dv ----
+    invj = invj_ref[...]
     _viscous_body(
-        vu, dv, geo_ref[...], nxj, invj_ref[...], wjq_ref[...],
+        vu, dv, geo_ref[...], nxj, invj, wjq_ref[...],
         front_ref[...], vqlift_ref[...], ef_ref[...], drpq_ref[...],
         sf_ref, div_ref, prod_ref, vuq_ref,
         dim=dim, nq=nq, gamma=gamma, mu=mu, lam=lam, pr=pr, proj=proj,
         contract=contract,
     )
 
+    if fold_tail:
+        # ---- in-kernel tail: flux/penalty LIFTs + divergence + 1/J
+        # assembly against the volume kernel's ph_qf (the reference
+        # adds the lifted penalty AFTER the 1/J scaling,
+        # dg2D_CNS_cavity_optimized.jl:840-846) ----
+        ph_qf = phq_ref[...]
+        lift = lift_ref[...]
+        for f in range(nf):
+            acc = -(ph_qf[f] + _dot(lift, flux[f])) * invj \
+                + div_ref[f] * invj
+            if with_penalty:
+                acc = acc + _dot(lift, pen[f])
+            dq_ref[f] = acc
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("gamma", "mu", "lam", "pr", "re", "nq", "block_k",
                      "interpret", "proj", "contract", "dissipation",
-                     "with_penalty", "recipe"),
+                     "with_penalty", "recipe", "fold_tail"),
 )
 def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
                                pool, geo, inv_j, wjq, front, vqlift, ef,
-                               drpq, *, gamma, mu, lam, pr, re, nq,
-                               dissipation, with_penalty, recipe=None,
-                               block_k: int = 1024,
+                               drpq, ph_qf=None, lift=None, *, gamma, mu,
+                               lam, pr, re, nq, dissipation, with_penalty,
+                               recipe=None, block_k: int = 1024,
                                interpret: bool = False,
-                               proj: bool = True, contract: bool = True):
+                               proj: bool = True, contract: bool = True,
+                               fold_tail: bool = False):
     """ONE kernel for the post-exchange surface stage AND the viscous
     mid-section of the affine CNS path.
 
@@ -266,6 +300,14 @@ def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
 
     Returns (flux, pen, t_f, div, prod, vuq); pen is None when
     with_penalty=False, vuq is the input vu_q when proj=False.
+
+    fold_tail=True additionally takes ph_qf [Nf, Np, K] (the volume
+    kernel's flux-differencing output) and the plain LIFT [Np, Nfq]
+    and performs the flux/penalty LIFTs, the 1/J scaling and the
+    inviscid+viscous assembly IN-kernel, returning
+    (dq_part, t_f, prod, vuq) instead — flux / pen / div never touch
+    HBM and the XLA tail shrinks to ONE lifted jump row:
+    dq = dq_part + LIFT(0.5 (t_pn - t_f)) / J.
     """
     nf, _, k = vu_q.shape
     dim = nf - 2
@@ -310,10 +352,13 @@ def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
         pool = jnp.zeros((1, nfq, kp), qm.dtype)
         recipe = None
 
+    if fold_tail and pad:
+        ph_qf = jnp.pad(ph_qf, ((0, 0), (0, 0), (0, pad)))
     kernel = functools.partial(
         _surface_viscous_kernel, dim=dim, nq=nq, gamma=gamma, mu=mu,
         lam=lam, pr=pr, re=re, proj=proj, contract=contract,
         dissipation=dissipation, with_penalty=with_penalty, recipe=recipe,
+        fold_tail=fold_tail,
     )
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -322,21 +367,23 @@ def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
         memory_space=pltpu.VMEM,
     )
     sf_rows = nf if contract else dim * nf
-    out_specs = [blk(nf, nfq, kb)]                   # flux
-    out_shape = [jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype)]
-    if with_penalty:
-        out_specs.append(blk(nf, nfq, kb))           # pen
-        out_shape.append(jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype))
-    out_specs += [
-        blk(sf_rows, nfq, kb),
-        blk(nf, np_, kb),
-        blk(1, kb),
-    ]
-    out_shape += [
-        jax.ShapeDtypeStruct((sf_rows, nfq, kp), vu_q.dtype),
-        jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype),
-        jax.ShapeDtypeStruct((1, kp), vu_q.dtype),
-    ]
+    if fold_tail:
+        out_specs = [blk(nf, np_, kb)]               # dq_part
+        out_shape = [jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype)]
+    else:
+        out_specs = [blk(nf, nfq, kb)]               # flux
+        out_shape = [jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype)]
+        if with_penalty:
+            out_specs.append(blk(nf, nfq, kb))       # pen
+            out_shape.append(
+                jax.ShapeDtypeStruct((nf, nfq, kp), vu_q.dtype))
+    out_specs += [blk(sf_rows, nfq, kb)]
+    out_shape += [jax.ShapeDtypeStruct((sf_rows, nfq, kp), vu_q.dtype)]
+    if not fold_tail:
+        out_specs += [blk(nf, np_, kb)]
+        out_shape += [jax.ShapeDtypeStruct((nf, np_, kp), vu_q.dtype)]
+    out_specs += [blk(1, kb)]
+    out_shape += [jax.ShapeDtypeStruct((1, kp), vu_q.dtype)]
     if proj:
         out_specs.append(blk(nf, nq, kb))
         out_shape.append(jax.ShapeDtypeStruct((nf, nq, kp), vu_q.dtype))
@@ -358,14 +405,21 @@ def cns_surface_viscous_pallas(vu_q, qm, qm_log, nbr, nxj, sj, inv_sj,
             rep(vqlift.shape),
             rep(ef.shape),
             rep(drpq.shape),
-        ],
+        ] + ([blk(nf, np_, kb), rep(lift.shape)] if fold_tail else []),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(vu_q, qm, qm_log, nbr, nxj_s, sj2, pool, geo, inv_j, wjq,
-      front, vqlift, ef, drpq)
+      front, vqlift, ef, drpq,
+      *((ph_qf, lift) if fold_tail else ()))
     it = iter(outs)
+    if fold_tail:
+        dq_part = next(it)[:, :, :k]
+        s_f = next(it)[:, :, :k]
+        prod = next(it)[:, :k]
+        vuq = next(it)[:, :, :k] if proj else vu_q[:, :, :k]
+        return dq_part, s_f, prod, vuq
     flux = next(it)[:, :, :k]
     pen = next(it)[:, :, :k] if with_penalty else None
     s_f = next(it)[:, :, :k]

@@ -100,6 +100,11 @@ def make_cns_rhs_affine(
         cns_surface_viscous_pallas): beyond removing the surface
         section's XLA launches, uf / vuf / vup / dv exist only in
         VMEM (requires the fused-viscous prerequisites).
+      'merged_tail' — 'merged' plus the tail fold: the flux/penalty
+        LIFTs, divergence and 1/J assembly also run in-kernel against
+        the volume kernel's ph_qf; only the post-exchange jump LIFT
+        remains XLA.  Requires compute_rhstest=False (the split dq_v
+        is not materialized).
       'fused' — the whole post-exchange surface section (inviscid BC
         ghosts, EC face flux + LF, entropy-variable BC + BR1 jump,
         interface-penalty rows) runs as ONE Pallas kernel
@@ -191,8 +196,14 @@ def make_cns_rhs_affine(
                          or (viscous_impl == "auto" and fused_visc_ok))
     if viscous_impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown viscous_impl: {viscous_impl!r}")
-    if surface_impl not in ("auto", "fused", "merged", "xla"):
+    if surface_impl not in ("auto", "fused", "merged", "merged_tail",
+                            "xla"):
         raise ValueError(f"unknown surface_impl: {surface_impl!r}")
+    if surface_impl == "merged_tail" and compute_rhstest:
+        # the tail-folded kernel emits only the assembled dq partial;
+        # the separate dq_v the rhstest splitting needs is unavailable
+        raise ValueError("surface_impl='merged_tail' requires "
+                         "compute_rhstest=False (use 'merged')")
     # auto: the MERGED surface+viscous kernel on the tri/modal path
     # (round-5 head-to-head at the bench config: 1.489e9 merged vs
     # 1.438e9 XLA DOF*stage/s, +3.6%); XLA surface elsewhere.  The
@@ -201,9 +212,16 @@ def make_cns_rhs_affine(
     # vs 2.03e9 XLA; 2D tri cavity 1.05e9 fused vs 1.26e9 XLA — one
     # v5e chip, 60-step LSRK45, median of 7); it stays available via
     # surface_impl='fused'.
-    use_merged_surface = surface_impl == "merged" or (
-        surface_impl == "auto" and fused_visc_ok
-        and viscous_impl in ("auto", "fused") and volume_impl == "fused")
+    auto_merged = (surface_impl == "auto" and fused_visc_ok
+                   and viscous_impl in ("auto", "fused")
+                   and volume_impl == "fused")
+    use_merged_surface = surface_impl in ("merged", "merged_tail") \
+        or auto_merged
+    # tail-folded variant whenever the rhstest splitting doesn't need
+    # the separate dq_v (A/B: 1.563e9 merged_tail vs 1.488e9 merged vs
+    # 1.438e9 XLA surface at the bench config)
+    fold_tail = surface_impl == "merged_tail" or (
+        auto_merged and not compute_rhstest)
     if use_merged_surface and not fused_visc_ok:
         raise ValueError(
             "surface_impl='merged' requires volume_impl in "
@@ -348,16 +366,22 @@ def make_cns_rhs_affine(
             if surf_evals:
                 pool = jnp.concatenate(
                     [surf_pool] + [e(t) for e in surf_evals], axis=0)
-            flux, pen, t_f, div, prod, vuq = cns_surface_viscous_pallas(
-                vuq, qm, qm_log, nbr, list(disc.nxj), disc.sj,
-                disc.inv_sj, pool, geo, inv_j, disc.wjq, front_visc,
-                vqlift, disc.vhp[nq:], drpq_stack,
+            kw_m = dict(
                 gamma=gamma, mu=mu, lam=lam, pr=pr, re=re, nq=nq,
                 dissipation=inviscid_dissipation,
                 with_penalty=viscous_dissipation, recipe=surf_recipe,
                 proj=visc_proj, contract=True, interpret=interpret,
                 **({} if block_k is None else {"block_k": block_k}),
             )
+            args_m = (vuq, qm, qm_log, nbr, list(disc.nxj), disc.sj,
+                      disc.inv_sj, pool, geo, inv_j, disc.wjq,
+                      front_visc, vqlift, disc.vhp[nq:], drpq_stack)
+            if fold_tail:
+                dq_part, t_f, prod, vuq = cns_surface_viscous_pallas(
+                    *args_m, ph_qf, disc.lift, fold_tail=True, **kw_m)
+            else:
+                flux, pen, t_f, div, prod, vuq = \
+                    cns_surface_viscous_pallas(*args_m, **kw_m)
             rhstest_visc = jnp.sum(prod)
         elif use_fused_surface:
             # fused post-exchange surface: the gather stays XLA (it is
@@ -456,6 +480,11 @@ def make_cns_rhs_affine(
                              precision=jax.lax.Precision.HIGHEST)
 
         jump_n = 0.5 * (t_pn - t_f)
+        if use_merged_surface and fold_tail:
+            # everything but the post-exchange jump LIFT happened
+            # in-kernel: ONE lifted row + the 1/J scale remain
+            dq = dq_part + _apply(disc.lift, jump_n) * inv_j[None]
+            return dq, {"rhstest_visc": rhstest_visc}
         lift_in = [flux, jump_n]
         if viscous_dissipation:
             # like the reference (cavity_optimized:840-846), the lifted

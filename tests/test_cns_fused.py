@@ -188,9 +188,9 @@ def test_fused_surface_matches_xla(case):
     rng = np.random.default_rng(3)
     q = q0 * (1.0 + 0.01 * jnp.asarray(rng.standard_normal(q0.shape)))
     flags = dict(bc=bc, inviscid_dissipation=True,
-                 viscous_dissipation=True, **kw)
+                 viscous_dissipation=True, compute_rhstest=False, **kw)
     out = {}
-    for simpl in ("xla", "fused", "merged"):
+    for simpl in ("xla", "fused", "merged", "merged_tail"):
         rhs = make_cns_rhs_affine(
             disc, volume_impl="fused", viscous_impl="fused",
             surface_impl=simpl, interpret=True,
@@ -198,7 +198,7 @@ def test_fused_surface_matches_xla(case):
         dq, aux = jax.jit(rhs, static_argnums=())(q, t)
         out[simpl] = (np.asarray(dq), float(aux["rhstest_visc"]))
     scale = np.abs(out["xla"][0]).max()
-    for simpl in ("fused", "merged"):
+    for simpl in ("fused", "merged", "merged_tail"):
         d = np.abs(out[simpl][0] - out["xla"][0]).max()
         assert d < 1e-11 * scale, (case, simpl, d, scale)
         assert abs(out[simpl][1] - out["xla"][1]) < 1e-9 * max(
