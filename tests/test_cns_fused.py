@@ -218,15 +218,17 @@ def test_merged_surface_hex_matches_xla():
               inviscid_dissipation=True, viscous_dissipation=True,
               volume_impl="fused_hex", interpret=True)
     out = {}
-    for simpl in ("xla", "merged"):
-        rhs = make_cns_rhs_affine(disc, surface_impl=simpl, **kw)
+    for simpl in ("xla", "merged", "merged_tail"):
+        rhs = make_cns_rhs_affine(disc, surface_impl=simpl,
+                                  compute_rhstest=False, **kw)
         dq, aux = jax.jit(rhs)(q, 0.0)
         out[simpl] = (np.asarray(dq), float(aux["rhstest_visc"]))
-    d = np.abs(out["merged"][0] - out["xla"][0]).max()
     s = np.abs(out["xla"][0]).max()
-    assert d < 1e-11 * s, (d, s)
-    assert abs(out["merged"][1] - out["xla"][1]) < 1e-9 * max(
-        abs(out["xla"][1]), 1.0)
+    for simpl in ("merged", "merged_tail"):
+        d = np.abs(out[simpl][0] - out["xla"][0]).max()
+        assert d < 1e-11 * s, (simpl, d, s)
+        assert abs(out[simpl][1] - out["xla"][1]) < 1e-9 * max(
+            abs(out["xla"][1]), 1.0), simpl
 
 
 def test_rebuilt_jump_bitwise_antisymmetric():
