@@ -114,10 +114,11 @@ def make_cns_rhs_affine(
         construction: the kernel rebuilds the WallBC pytree from its
         inputs and calls the same hooks.
       'xla'  — the jnp path (solvers._shared.inviscid_surface).
-      'auto' — 'merged' on the tri/modal fused path (round-5 A/B:
-        1.489e9 vs 1.438e9 DOF*stage/s at the bench config), the XLA
-        surface elsewhere (the collocated-hex path keeps XLA pending
-        its own merged A/B).
+      'auto' — the merged kernel on both fused paths: 'merged_tail'
+        when compute_rhstest=False, 'merged' otherwise (round-5 A/Bs,
+        DOF*stage/s: tri 1.563/1.488/1.438e9 and hex 2.834/2.717/
+        2.577e9 for merged_tail/merged/XLA); the XLA surface on the
+        non-fused volume paths.
     """
     if not disc.affine:
         raise ValueError("make_cns_rhs_affine requires an affine mesh")
@@ -204,17 +205,15 @@ def make_cns_rhs_affine(
         # the separate dq_v the rhstest splitting needs is unavailable
         raise ValueError("surface_impl='merged_tail' requires "
                          "compute_rhstest=False (use 'merged')")
-    # auto: the MERGED surface+viscous kernel on the tri/modal path
-    # (round-5 head-to-head at the bench config: 1.489e9 merged vs
-    # 1.438e9 XLA DOF*stage/s, +3.6%); XLA surface elsewhere.  The
-    # STANDALONE fused surface kernel lost its A/B once the contracted
-    # stress exchange shrank the XLA tail (3D hex cavity 1.75e9 fused
-    # vs 2.03e9 XLA; 2D tri cavity 1.05e9 fused vs 1.26e9 XLA — one
-    # v5e chip, 60-step LSRK45, median of 7); it stays available via
-    # surface_impl='fused'.
+    # (the STANDALONE fused surface kernel lost its round-4 A/B once
+    # the contracted stress exchange shrank the XLA tail; it stays
+    # available via surface_impl='fused')
+    # round 5: auto takes the merged kernel on BOTH fused paths (tri
+    # head-to-head 1.563/1.488/1.438e9 for merged_tail/merged/XLA;
+    # hex 2.834/2.717/2.577e9 — the r4 "XLA surface wins on hex"
+    # result was for the STANDALONE surface kernel, not the merge)
     auto_merged = (surface_impl == "auto" and fused_visc_ok
-                   and viscous_impl in ("auto", "fused")
-                   and volume_impl == "fused")
+                   and viscous_impl in ("auto", "fused"))
     use_merged_surface = surface_impl in ("merged", "merged_tail") \
         or auto_merged
     # tail-folded variant whenever the rhstest splitting doesn't need
