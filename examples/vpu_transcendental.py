@@ -58,6 +58,11 @@ NCHAINS = 4       # independent chains to cover op latency
 
 _STEPS = {
     "fma": lambda a, x, c: a * 0.97 + c,
+    # fusion probes: if mul and add each run ~2x the "fma" chain, the
+    # mul+add did NOT fuse into one slot and the baseline is 2 slots
+    "mul": lambda a, x, c: a * (0.97 + 0.001 * c),
+    "add": lambda a, x, c: a + c,   # grows to ~8e2 over a run: finite
+
     "div": lambda a, x, c: x / (a + c),
     "log": lambda a, x, c: jnp.log(a) + (2.0 + c * 0.01),
     "exp": lambda a, x, c: jnp.exp(-a) + (0.5 + c * 0.01),
