@@ -228,10 +228,14 @@ def build_discretization(
     # (~1e-16 absolute from O(1) coordinates); zeroing them makes the
     # axis-aligned kernel specialization (ops.pallas_volume diag=True)
     # bit-consistent with the general contraction.  The curl-form noise
-    # reaches ~6e-13 of the metric scale (measured at N=4: D entries
-    # O(10) x coordinate products O(1) in f64), so the gate is 1e-11
-    # relative — far below any legitimate affine metric entry (that
-    # would need aspect ratio 1e11).  Curved meshes are NOT snapped:
+    # is RELATIVE to the coordinate scale, not the metric scale: geo
+    # entries shrink like (1/k1d)^2 while the absolute noise stays
+    # ~1e-15, so the relative noise grows with mesh refinement —
+    # measured 6e-13 at k1d<=16 but 3.8e-11 at the k1d=32 bench mesh,
+    # which silently defeated the old 1e-11 gate (round 5: the bench
+    # ran the general contraction for this reason).  The gate is 1e-9
+    # relative — still far below any legitimate affine metric entry
+    # (that would need aspect ratio 1e9).  Curved meshes are NOT snapped:
     # a smooth nodal geofac may legitimately cross zero, and the
     # curl-form GCL is an exact nodal identity there that perturbation
     # would break; on affine metrics the GCL reduces to D_r applied to
@@ -239,7 +243,7 @@ def build_discretization(
     # cannot disturb it.
     def _snap(arrs):
         scale = max(np.abs(a).max() for a in arrs)
-        return [np.where(np.abs(a) < 1e-11 * scale, 0.0, a) for a in arrs]
+        return [np.where(np.abs(a) < 1e-9 * scale, 0.0, a) for a in arrs]
 
     g_stack = np.stack(geo_list)
     g_spread = np.abs(g_stack - g_stack.mean(axis=1, keepdims=True)).max()

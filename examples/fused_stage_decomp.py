@@ -51,15 +51,22 @@ def main():
     floor = dispatch_floor(q0)
     print(f"  dispatch floor: {floor:7.3f} ms/rep (already subtracted)")
 
-    split = n >= 4
+    # mirror solvers.euler_fused 'auto' (round 5: packed-fold at
+    # misaligned orders and n1=4)
+    packed = disc.affine and (8 % (n + 1) != 0 or n + 1 == 4)
+    split = n >= 4 and not packed
     vol_fn = euler_volume_split_pallas if split else euler_volume_pallas
-    bk = default_block_k(n, "split" if split else "joint")
+    mode = "joint_packed" if packed else ("split" if split else "joint")
+    bk = default_block_k(n, mode)
 
-    for diag in (True, False):
+    diags = {"true": (True,), "false": (False,)}.get(
+        os.environ.get("PERF_DIAG", "both"), (True, False))
+    for diag in diags:
         def vol(q):
             return vol_fn(q, disc.geo, disc.vhp[nq:], disc.lift, gamma,
                           nq=nq, line_ops=disc.line_ops, block_k=bk,
-                          diag=diag)
+                          diag=diag, pad_x=packed,
+                          **({"packed": True} if packed else {}))
 
         ph_qf0, tr0 = vol(q0)
 

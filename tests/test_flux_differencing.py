@@ -177,6 +177,13 @@ def test_snap_detect_contract():
 
     disc, _ = euler_hex_3d(n=3, k1d=2)
     assert detect_axis_aligned(disc)
+    # the BENCH-SCALE meshes must be detected too: the curl-form setup
+    # noise is ABSOLUTE, so its relative size grows as the metric
+    # shrinks with k1d — the old 1e-11 snap gate silently failed at
+    # k1d >= 24 and the bench ran the general contraction (round 5)
+    for n_, k1d_ in ((3, 32), (4, 24)):
+        disc_b, _ = euler_hex_3d(n=n_, k1d=k1d_)
+        assert detect_axis_aligned(disc_b), (n_, k1d_)
     geo = np.asarray(disc.geo)
     for d in range(3):
         for x in range(3):
