@@ -44,10 +44,10 @@ from esdg_cns_tpu.solvers import make_cns_rhs, make_euler_rhs
 # PARITY.md); the driver's next bench artifact supersedes these
 # numbers, the payload and boundary measurements do not depend on them
 MEASURED_DOF_STAGE_PER_S = {
-    "euler_hex_n3": 3.978e9,
-    "euler_hex_n4": 3.320e9,
-    "cns_cavity": 1.489e9,
-    "cns_cavity_3d": 2.577e9,
+    "euler_hex_n3": 4.898e9,
+    "euler_hex_n4": 3.594e9,
+    "cns_cavity": 1.562e9,
+    "cns_cavity_3d": 2.838e9,
 }
 
 
